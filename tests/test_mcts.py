@@ -1,0 +1,202 @@
+"""Batched MCTS tests.
+
+The key test is exact equivalence against a host-side mirror of the
+reference search (training/mcts.py semantics, ascending-order tie-breaks)
+driven by the same deterministic mock network — the batched array tree and
+the object tree must produce identical root visit counts with noise off.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xiangqi_alphazero_tpu.engine import env as E
+from xiangqi_alphazero_tpu.engine.oracle import NSQ, Position
+from xiangqi_alphazero_tpu.search import (
+    MCTSConfig,
+    action_probs_dense,
+    run_mcts,
+    sample_actions,
+)
+
+# ---------------------------------------------------------------- mock net
+
+_RNG = np.random.default_rng(7)
+_FIXED_LOGITS = _RNG.standard_normal(8100).astype(np.float32)
+_FIXED_PROBS = np.exp(_FIXED_LOGITS - _FIXED_LOGITS.max())
+_FIXED_PROBS /= _FIXED_PROBS.sum()
+
+
+def _mock_value_from_feats(feats: np.ndarray) -> float:
+    # own piece count minus opponent piece count, squashed (float32 math)
+    own = np.float32(feats[..., :7].sum())
+    opp = np.float32(feats[..., 7:14].sum())
+    return float(np.tanh(np.float32(own - opp) / np.float32(8.0)))
+
+
+def _jax_eval(feats):
+    probs = jnp.broadcast_to(
+        jnp.asarray(_FIXED_PROBS), (feats.shape[0], 8100)
+    )
+    own = jnp.sum(feats[..., :7], axis=(1, 2, 3))
+    opp = jnp.sum(feats[..., 7:14], axis=(1, 2, 3))
+    value = jnp.tanh((own - opp) / 8.0)
+    return probs, value
+
+
+# ------------------------------------------------- host mirror of reference
+
+
+class _Node:
+    __slots__ = ("n", "w", "p", "kids")
+
+    def __init__(self, prior=0.0):
+        self.n = 0
+        self.w = 0.0
+        self.p = prior
+        self.kids = {}  # action -> _Node, inserted in ascending order
+
+
+def _priors(pos: Position):
+    acts = pos.legal_actions()
+    mass = np.float32(sum(np.float32(_FIXED_PROBS[a]) for a in acts))
+    if mass > 0:
+        return {a: np.float32(_FIXED_PROBS[a]) / mass for a in acts}
+    return {a: np.float32(1.0 / len(acts)) for a in acts}
+
+
+def _py_mcts(pos: Position, sims: int, c_puct=1.5):
+    """Reference-semantics MCTS (training/mcts.py:94-155) with ascending
+    action order and float32 UCB, matching the batched implementation's
+    deterministic tie-breaks."""
+    root = _Node()
+    for a, p in _priors(pos).items():
+        root.kids[a] = _Node(p)
+    root_n = 0
+
+    for _ in range(sims):
+        node, path = root, []
+        sim = pos.copy()
+        n_parent = root_n
+        while node.kids:
+            best, best_u = None, -math.inf
+            for a, ch in node.kids.items():
+                q = np.float32(ch.w / ch.n) if ch.n else np.float32(0.0)
+                u = np.float32(
+                    q
+                    + np.float32(c_puct)
+                    * ch.p
+                    * np.float32(math.sqrt(n_parent))
+                    / np.float32(1 + ch.n)
+                )
+                if u > best_u:
+                    best, best_u = a, u
+            path.append(node.kids[best])
+            n_parent = node.kids[best].n
+            node = node.kids[best]
+            sim.apply(best)
+
+        done, winner = sim.result()
+        if done:
+            v = 0.0 if winner == 0 else 1.0
+        else:
+            feats = sim.features().transpose(1, 2, 0)
+            v = _mock_value_from_feats(feats)
+            for a, p in _priors(sim).items():
+                node.kids[a] = _Node(p)
+            v = -v
+
+        for nd in reversed(path):
+            nd.n += 1
+            nd.w += v
+            v = -v
+        root_n += 1
+
+    return {a: ch.n for a, ch in root.kids.items() if ch.n > 0}
+
+
+# ----------------------------------------------------------------- tests
+
+
+def test_visits_sum_and_legality():
+    cfg = MCTSConfig(num_simulations=30)
+    roots = E.reset_batch_jit(4)
+    run = jax.jit(
+        lambda r, k: run_mcts(_jax_eval, r, k, cfg, add_noise=True)
+    )
+    res = run(roots, jax.random.key(0))
+    visits = np.asarray(res.visits)
+    actions = np.asarray(res.actions)
+    legal = set(np.nonzero(np.asarray(roots.legal[0]))[0].tolist())
+    assert visits.sum(axis=1).tolist() == [30, 30, 30, 30]
+    for j in range(actions.shape[1]):
+        if visits[0, j] > 0:
+            assert actions[0, j] in legal
+
+
+def test_exact_match_vs_reference_mirror():
+    cfg = MCTSConfig(num_simulations=40)
+    roots = E.reset_batch_jit(2)
+    run = jax.jit(
+        lambda r, k: run_mcts(_jax_eval, r, k, cfg, add_noise=False)
+    )
+    res = run(roots, jax.random.key(0))
+    got = {
+        int(a): int(n)
+        for a, n in zip(np.asarray(res.actions[0]), np.asarray(res.visits[0]))
+        if n > 0
+    }
+    want = _py_mcts(Position(), 40)
+    assert got == want, f"batched={got}\nmirror={want}"
+
+
+def test_finds_immediate_king_capture():
+    # Red rook can capture the black king outright; with a value-blind net
+    # the +1 terminal reward must dominate the visit distribution.
+    board = np.zeros(NSQ, np.int8)
+    board[0 * 9 + 3] = 1     # red king d0
+    board[5 * 9 + 4] = 5     # red rook e5
+    board[9 * 9 + 4] = -1    # black king e9
+    s1 = E.state_from_numpy(board, 1)
+    roots = jax.tree.map(lambda x: jnp.stack([x, x]), s1)
+    cfg = MCTSConfig(num_simulations=60)
+
+    def uniform_eval(feats):
+        probs = jnp.full((feats.shape[0], 8100), 1.0 / 8100)
+        return probs, jnp.zeros(feats.shape[0])
+
+    res = jax.jit(
+        lambda r, k: run_mcts(uniform_eval, r, k, cfg, add_noise=False)
+    )(roots, jax.random.key(1))
+    visits = np.asarray(res.visits[0])
+    actions = np.asarray(res.actions[0])
+    win = (5 * 9 + 4) * 90 + (9 * 9 + 4)  # rook e5 x king e9
+    assert actions[visits.argmax()] == win
+
+
+def test_temperature_pi_semantics():
+    cfg = MCTSConfig(num_simulations=25)
+    roots = E.reset_batch_jit(2)
+    res = jax.jit(
+        lambda r, k: run_mcts(_jax_eval, r, k, cfg, add_noise=True)
+    )(roots, jax.random.key(2))
+
+    pi_greedy = np.asarray(
+        jax.jit(action_probs_dense)(res, jnp.zeros(2))
+    )
+    assert np.allclose(pi_greedy.sum(axis=1), 1.0)
+    assert (pi_greedy > 0).sum(axis=1).tolist() == [1, 1]
+
+    pi_t1 = np.asarray(jax.jit(action_probs_dense)(res, jnp.ones(2)))
+    visits = np.asarray(res.visits[0]).astype(np.float64)
+    acts = np.asarray(res.actions[0])
+    expect = visits / visits.sum()
+    for j in np.nonzero(visits)[0]:
+        assert abs(pi_t1[0, acts[j]] - expect[j]) < 1e-5
+
+    a = np.asarray(
+        jax.jit(sample_actions)(res, jnp.zeros(2), jax.random.key(3))
+    )
+    assert pi_greedy[0, a[0]] == 1.0
