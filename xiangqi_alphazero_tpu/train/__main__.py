@@ -1,0 +1,31 @@
+"""CLI entry: python -m xiangqi_alphazero_tpu.train --mode quick|standard|full
+
+Mirrors the reference CLI (training/train.py:707-764)."""
+
+import logging
+import os
+import sys
+
+from .config import build_argparser, config_from_args
+from .trainer import AlphaZeroTrainer
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    cfg, resume = config_from_args(args)
+    os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s [%(levelname)s] %(message)s",
+        handlers=[
+            logging.StreamHandler(),
+            logging.FileHandler(os.path.join(cfg.checkpoint_dir, "training.log")),
+        ],
+    )
+    trainer = AlphaZeroTrainer(cfg)
+    trainer.train(resume=resume)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

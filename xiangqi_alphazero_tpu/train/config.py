@@ -1,0 +1,167 @@
+"""Training configuration: one dataclass tree + presets + CLI overrides.
+
+Field-for-field parity with the reference config (reference:
+training/train.py:55-111) plus TPU-specific knobs (batch of concurrent
+self-play games, compute dtype, mesh axes). Presets quick/standard/full
+mirror reference train.py:645-704.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class TrainingConfig:
+    # model
+    num_channels: int = 128
+    num_res_blocks: int = 6
+
+    # MCTS
+    num_simulations: int = 200
+    c_puct: float = 1.5
+    temperature_threshold: int = 20  # plies at temp 1.0, then 0.3
+    max_children: int = 128
+
+    # self-play
+    num_games_per_iter: int = 20     # == the self-play batch (games in lockstep)
+    max_game_length: int = 300
+    resign_threshold: float = -0.9
+    resign_check_steps: int = 5
+    enable_resign: bool = True
+    random_opening_moves: int = 4
+
+    # training
+    num_iterations: int = 100
+    batch_size: int = 256
+    num_epochs: int = 5
+    learning_rate: float = 2e-3
+    weight_decay: float = 1e-4
+    lr_milestones: Tuple[int, ...] = (50, 80)
+    lr_gamma: float = 0.1
+
+    # data
+    max_buffer_size: int = 50_000
+    min_buffer_size: int = 500
+
+    # evaluation (gating)
+    eval_games: int = 10
+    eval_win_rate: float = 0.55
+    eval_simulations: int = 100
+    eval_interval: int = 2           # evaluate every N iterations
+
+    # checkpointing
+    checkpoint_dir: str = "checkpoints"
+    save_interval: int = 5
+
+    # TPU execution
+    dtype: str = "bfloat16"          # network compute dtype
+    mesh_axis: str = "data"          # self-play + learner data-parallel axis
+    seed: int = 0
+
+    def lr_at(self, iteration: int) -> float:
+        """MultiStepLR semantics (reference: train.py:196-200, stepped once
+        per iteration at train.py:433)."""
+        lr = self.learning_rate
+        for m in self.lr_milestones:
+            if iteration >= m:
+                lr *= self.lr_gamma
+        return lr
+
+
+def quick_config() -> TrainingConfig:
+    """Fast smoke/demo settings (reference: train.py:645-674)."""
+    return TrainingConfig(
+        num_channels=64,
+        num_res_blocks=3,
+        num_simulations=80,
+        num_games_per_iter=6,
+        num_iterations=10,
+        batch_size=64,
+        num_epochs=5,
+        min_buffer_size=100,
+        eval_games=4,
+        eval_simulations=40,
+        save_interval=2,
+        temperature_threshold=15,
+        max_game_length=200,
+        learning_rate=2e-3,
+        random_opening_moves=4,
+        enable_resign=True,
+        resign_threshold=-0.85,
+        resign_check_steps=3,
+    )
+
+
+def standard_config() -> TrainingConfig:
+    """Reference: train.py:677-689."""
+    return TrainingConfig(
+        num_channels=128,
+        num_res_blocks=6,
+        num_simulations=200,
+        num_games_per_iter=20,
+        num_iterations=50,
+        max_game_length=300,
+        random_opening_moves=6,
+        enable_resign=True,
+    )
+
+
+def full_config() -> TrainingConfig:
+    """Reference: train.py:692-704."""
+    return TrainingConfig(
+        num_channels=256,
+        num_res_blocks=10,
+        num_simulations=400,
+        num_games_per_iter=50,
+        num_iterations=200,
+        max_game_length=400,
+        random_opening_moves=8,
+        enable_resign=True,
+    )
+
+
+PRESETS = {
+    "quick": quick_config,
+    "standard": standard_config,
+    "full": full_config,
+}
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    """CLI mirroring the reference's flags (reference: train.py:707-754)."""
+    p = argparse.ArgumentParser(description="Xiangqi AlphaZero TPU training")
+    p.add_argument("--mode", choices=sorted(PRESETS), default="quick")
+    p.add_argument("--iterations", type=int)
+    p.add_argument("--games-per-iter", type=int)
+    p.add_argument("--simulations", type=int)
+    p.add_argument("--channels", type=int)
+    p.add_argument("--res-blocks", type=int)
+    p.add_argument("--resume", type=str)
+    p.add_argument("--checkpoint-dir", type=str)
+    p.add_argument("--seed", type=int)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"])
+    p.add_argument("--max-game-length", type=int)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> Tuple[TrainingConfig, Optional[str]]:
+    cfg = PRESETS[args.mode]()
+    overrides = {
+        "iterations": "num_iterations",
+        "games_per_iter": "num_games_per_iter",
+        "simulations": "num_simulations",
+        "channels": "num_channels",
+        "res_blocks": "num_res_blocks",
+        "checkpoint_dir": "checkpoint_dir",
+        "seed": "seed",
+        "dtype": "dtype",
+        "max_game_length": "max_game_length",
+    }
+    for arg_name, field in overrides.items():
+        v = getattr(args, arg_name, None)
+        if v is not None:
+            setattr(cfg, field, v)
+    return cfg, args.resume

@@ -1,0 +1,100 @@
+"""Learner: jitted train step and optimizer.
+
+Loss and optimization exactly mirror the reference (training/train.py:
+376-447): policy CE = -mean(sum(pi * log_softmax(logits))), value MSE,
+Adam(lr, L2 weight decay applied to the clipped gradient — torch Adam
+semantics, not decoupled AdamW), global-norm gradient clip 1.0, and
+MultiStepLR stepped once per iteration (via injected learning rate,
+config.lr_at).
+
+TPU-first: NN features and dense policy targets never exist on the host —
+the step takes compact samples (int8 boards, sparse pi slots) and builds
+everything on device; the policy CE gathers log-probs at the sparse slot
+actions instead of materializing an 8100-wide target.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..engine import env as E
+
+
+def make_optimizer(
+    learning_rate: float, weight_decay: float, clip_norm: float = 1.0
+) -> optax.GradientTransformation:
+    def core(learning_rate):
+        return optax.chain(
+            optax.clip_by_global_norm(clip_norm),
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_adam(),
+            optax.scale_by_learning_rate(learning_rate),
+        )
+
+    return optax.inject_hyperparams(core)(learning_rate=learning_rate)
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Apply the per-iteration LR schedule to an inject_hyperparams state."""
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+class TrainMetrics(NamedTuple):
+    policy_loss: jax.Array
+    value_loss: jax.Array
+    total_loss: jax.Array
+
+
+def train_step_impl(
+    net,
+    tx: optax.GradientTransformation,
+    params,
+    batch_stats,
+    opt_state,
+    boards: jax.Array,      # int8[b, 90]
+    sides: jax.Array,       # int8[b]
+    pi_actions: jax.Array,  # int32[b, K]
+    pi_probs: jax.Array,    # f32[b, K]
+    z: jax.Array,           # f32[b]
+    w: jax.Array,           # f32[b] sample weights (partial-batch mask)
+) -> Tuple[Any, Dict, Any, TrainMetrics]:
+    feats = E.v_features(boards, sides)
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+
+    def loss_fn(p):
+        (logits, value), mut = net.apply(
+            {"params": p, "batch_stats": batch_stats},
+            feats,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        gathered = jnp.take_along_axis(
+            logp, jnp.maximum(pi_actions, 0), axis=-1
+        )
+        ce = -jnp.sum(pi_probs * gathered, axis=-1)
+        policy_loss = jnp.sum(w * ce) / wsum
+        value_loss = jnp.sum(w * (value.squeeze(-1) - z) ** 2) / wsum
+        return policy_loss + value_loss, (
+            mut["batch_stats"],
+            policy_loss,
+            value_loss,
+        )
+
+    (total, (new_stats, p_loss, v_loss)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, new_stats, opt_state, TrainMetrics(p_loss, v_loss, total)
+
+
+train_step = functools.partial(
+    jax.jit, static_argnums=(0, 1), donate_argnums=(2, 4)
+)(train_step_impl)

@@ -1,0 +1,97 @@
+"""Host-side experience replay ring buffer with compact samples.
+
+Replaces the reference's deque of dense (state 15x10x9 f32, pi 8100 f32, z)
+tuples (reference: train.py:114-129, 203) with a compact layout: samples
+store the raw int8 board + side (91 bytes) and the search policy as sparse
+(action, probability) slot pairs. Dense NN features and dense policy targets
+are reconstructed on-device inside the jitted train step — ~60x less host
+memory and host->device traffic per sample.
+
+Mirror augmentation (reference: train.py:132-151) happens at insert time via
+the precomputed square/action permutations, doubling samples exactly like
+the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import numpy as np
+
+from ..engine import tables as _tables
+
+
+class ReplayBuffer:
+    def __init__(self, capacity: int, max_children: int = 128):
+        self.capacity = capacity
+        self.k = max_children
+        self.boards = np.zeros((capacity, 90), np.int8)
+        self.sides = np.zeros((capacity,), np.int8)
+        self.pi_actions = np.full((capacity, max_children), -1, np.int32)
+        self.pi_probs = np.zeros((capacity, max_children), np.float32)
+        self.values = np.zeros((capacity,), np.float32)
+        self.size = 0
+        self._pos = 0
+        t = _tables.tables()
+        self._mirror_sq = t["MIRROR_SQ"]
+        self._mirror_act = t["MIRROR_ACT"]
+
+    def __len__(self) -> int:
+        return self.size
+
+    def _insert(self, boards, sides, pi_actions, pi_probs, values) -> None:
+        n = boards.shape[0]
+        idx = (self._pos + np.arange(n)) % self.capacity
+        self.boards[idx] = boards
+        self.sides[idx] = sides
+        self.pi_actions[idx] = pi_actions
+        self.pi_probs[idx] = pi_probs
+        self.values[idx] = values
+        self._pos = int((self._pos + n) % self.capacity)
+        self.size = int(min(self.size + n, self.capacity))
+
+    def add_games(self, boards, sides, pi_actions, pi_probs, values,
+                  augment: bool = True) -> int:
+        """Insert flat sample arrays; optionally also their mirror images.
+        Returns number of samples inserted."""
+        boards = np.asarray(boards, np.int8)
+        sides = np.asarray(sides, np.int8)
+        pi_actions = np.asarray(pi_actions, np.int32)
+        pi_probs = np.asarray(pi_probs, np.float32)
+        values = np.asarray(values, np.float32)
+        self._insert(boards, sides, pi_actions, pi_probs, values)
+        n = boards.shape[0]
+        if augment:
+            m_boards = boards[:, self._mirror_sq]
+            m_actions = np.where(
+                pi_actions >= 0, self._mirror_act[np.maximum(pi_actions, 0)], -1
+            ).astype(np.int32)
+            self._insert(m_boards, sides, m_actions, pi_probs, values)
+            n *= 2
+        return n
+
+    def epoch_batches(
+        self, batch_size: int, rng: np.random.Generator
+    ) -> Iterator[Tuple[np.ndarray, ...]]:
+        """One shuffled pass over the whole buffer (reference DataLoader
+        semantics, train.py:384-391: shuffle=True, drop_last=False). The
+        final partial batch is padded to a static shape with a weight mask
+        so the jitted step recompiles for exactly one batch shape."""
+        order = rng.permutation(self.size)
+        for start in range(0, self.size, batch_size):
+            idx = order[start : start + batch_size]
+            n = idx.shape[0]
+            if n < batch_size:
+                idx = np.concatenate(
+                    [idx, np.zeros(batch_size - n, idx.dtype)]
+                )
+            w = np.zeros(batch_size, np.float32)
+            w[:n] = 1.0
+            yield (
+                self.boards[idx],
+                self.sides[idx],
+                self.pi_actions[idx],
+                self.pi_probs[idx],
+                self.values[idx],
+                w,
+            )

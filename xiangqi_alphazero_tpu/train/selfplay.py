@@ -1,0 +1,250 @@
+"""Vectorized self-play: a whole iteration of games as ONE device program.
+
+TPU-native replacement for the reference's process-parallel workers
+(reference: training/parallel_selfplay.py:42-134, 337-474): instead of N
+processes each playing games serially with per-simulation socket round-trips,
+the full batch of games plays in lockstep under one jit — search, stepping,
+recording, resign and adjudication all on-device, zero host round-trips
+until the iteration's data is fetched.
+
+Semantics preserved from the reference worker loop (parallel_selfplay.py):
+- random opening: uniform random legal moves, count ~ randint(0, N)
+  inclusive; a game that ends during the opening restarts fresh (:60-69);
+- material adjudication when move_count >= max_game_length (:76-86);
+- binary temperature schedule: 1.0 below temperature_threshold plies,
+  then 0.3 (:89-92);
+- recorded policy target = the temperature-exponentiated search
+  distribution (:93-96);
+- resign: after >10 recorded plies, resign_check_steps consecutive
+  post-move values below resign_threshold end the game, the mover wins
+  (:106-117);
+- z labels: +1/-1/0 vs the recorded player (:120-129).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..engine import env as E
+from ..search import mcts as M
+
+
+class SelfPlaySettings(NamedTuple):
+    """Static (hashable) settings baked into the jitted program."""
+
+    num_simulations: int = 80
+    c_puct: float = 1.5
+    max_children: int = 128
+    max_game_length: int = 200
+    temperature_threshold: int = 15
+    random_opening_moves: int = 4
+    enable_resign: bool = True
+    resign_threshold: float = -0.85
+    resign_check_steps: int = 3
+
+
+class SelfPlayOut(NamedTuple):
+    boards: jax.Array      # int8[T, B, 90]
+    sides: jax.Array       # int8[T, B]
+    pi_actions: jax.Array  # int32[T, B, K]
+    pi_probs: jax.Array    # f32[T, B, K]
+    values: jax.Array      # f32[T, B]  (z labels)
+    rec: jax.Array         # bool[T, B] sample validity
+    winners: jax.Array     # int8[B]
+    plies: jax.Array       # int32[B] recorded plies per game
+    total_moves: jax.Array  # int32[B] final move_count per game
+
+
+def _uniform_legal_action(legal: jax.Array, rng: jax.Array) -> jax.Array:
+    """Uniform sample over an 8100-wide legal mask (== random.choice)."""
+    g = jax.random.gumbel(rng, legal.shape)
+    return jnp.argmax(jnp.where(legal, g, -jnp.inf), axis=-1).astype(jnp.int32)
+
+
+def _adjudicate(board: jax.Array) -> jax.Array:
+    """Material adjudication winner (reference: parallel_selfplay.py:77-86)."""
+    diff = E.material(board, jnp.int8(1)) - E.material(board, jnp.int8(-1))
+    return jnp.where(diff > 30, 1, jnp.where(diff < -30, -1, 0)).astype(jnp.int8)
+
+
+def selfplay_games(
+    eval_fn: Callable[[jax.Array], Tuple[jax.Array, jax.Array]],
+    batch: int,
+    rng: jax.Array,
+    s: SelfPlaySettings,
+) -> SelfPlayOut:
+    """Play ``batch`` games to completion. Jit with batch and s static."""
+    T, K = s.max_game_length, s.max_children
+    mcfg = M.MCTSConfig(
+        num_simulations=s.num_simulations,
+        c_puct=s.c_puct,
+        max_children=K,
+    )
+    fresh = E.reset_batch(batch)
+    states = fresh
+
+    # ---- random openings (reference: parallel_selfplay.py:60-69) -------
+    rng, k0 = jax.random.split(rng)
+    n_rand = jax.random.randint(
+        k0, (batch,), 0, s.random_opening_moves + 1
+    )
+    aborted = jnp.zeros(batch, bool)
+    for r in range(s.random_opening_moves):
+        rng, kr = jax.random.split(rng)
+        active = (r < n_rand) & ~aborted & ~states.done
+        act = jax.vmap(_uniform_legal_action)(
+            states.legal, jax.random.split(kr, batch)
+        )
+        nxt = E.v_step(states, act)
+        states = jax.tree.map(
+            lambda n, o: jnp.where(
+                active.reshape((batch,) + (1,) * (n.ndim - 1)), n, o
+            ),
+            nxt,
+            states,
+        )
+        ended = active & states.done
+        states = jax.tree.map(
+            lambda f, st: jnp.where(
+                ended.reshape((batch,) + (1,) * (f.ndim - 1)), f, st
+            ),
+            fresh,
+            states,
+        )
+        aborted = aborted | ended
+
+    # ---- main loop ------------------------------------------------------
+    class Carry(NamedTuple):
+        states: E.EnvState
+        forced: jax.Array         # bool[B] resign/adjudication ended
+        forced_winner: jax.Array  # int8[B]
+        resign_run: jax.Array     # int32[B]
+        n_rec: jax.Array          # int32[B]
+        t: jax.Array
+        rng: jax.Array
+        boards: jax.Array
+        sides: jax.Array
+        pi_actions: jax.Array
+        pi_probs: jax.Array
+        rec: jax.Array
+
+    def alive_of(c: Carry) -> jax.Array:
+        return ~c.states.done & ~c.forced
+
+    def cond(c: Carry):
+        return (c.t < T) & jnp.any(alive_of(c))
+
+    def body(c: Carry) -> Carry:
+        # adjudication first (reference checks at loop top, :76-86)
+        alive = alive_of(c)
+        adj = alive & (c.states.ply >= s.max_game_length)
+        forced = c.forced | adj
+        forced_winner = jnp.where(
+            adj, jax.vmap(_adjudicate)(c.states.board), c.forced_winner
+        )
+        alive = alive & ~adj
+
+        rng, k_search, k_act = jax.random.split(c.rng, 3)
+        res = M.run_mcts(eval_fn, c.states, k_search, mcfg, add_noise=True)
+        temp = jnp.where(
+            c.states.ply < s.temperature_threshold, 1.0, 0.3
+        ).astype(jnp.float32)
+
+        pi = M.action_probs_slots(res, temp)
+        boards = c.boards.at[c.t].set(c.states.board)
+        sides = c.sides.at[c.t].set(c.states.side)
+        pi_actions = c.pi_actions.at[c.t].set(res.actions)
+        pi_probs = c.pi_probs.at[c.t].set(pi)
+        rec = c.rec.at[c.t].set(alive)
+
+        act = M.sample_actions(res, temp, k_act)
+        nxt = E.v_step(c.states, act)
+        states = jax.tree.map(
+            lambda n, o: jnp.where(
+                alive.reshape((batch,) + (1,) * (n.ndim - 1)), n, o
+            ),
+            nxt,
+            c.states,
+        )
+        n_rec = c.n_rec + alive.astype(jnp.int32)
+
+        # resign (reference: parallel_selfplay.py:106-117)
+        if s.enable_resign:
+            feats = E.v_features(states.board, states.side)
+            _, val = eval_fn(feats)
+            gate = alive & ~states.done & (n_rec > 10)
+            resign_run = jnp.where(
+                gate & (val < s.resign_threshold),
+                c.resign_run + 1,
+                jnp.where(gate, 0, c.resign_run),
+            )
+            trigger = gate & (resign_run >= s.resign_check_steps)
+            forced = forced | trigger
+            forced_winner = jnp.where(
+                trigger, (-states.side).astype(jnp.int8), forced_winner
+            )
+        else:
+            resign_run = c.resign_run
+
+        return Carry(
+            states=states,
+            forced=forced,
+            forced_winner=forced_winner,
+            resign_run=resign_run,
+            n_rec=n_rec,
+            t=c.t + 1,
+            rng=rng,
+            boards=boards,
+            sides=sides,
+            pi_actions=pi_actions,
+            pi_probs=pi_probs,
+            rec=rec,
+        )
+
+    init = Carry(
+        states=states,
+        forced=jnp.zeros(batch, bool),
+        forced_winner=jnp.zeros(batch, jnp.int8),
+        resign_run=jnp.zeros(batch, jnp.int32),
+        n_rec=jnp.zeros(batch, jnp.int32),
+        t=jnp.int32(0),
+        rng=rng,
+        boards=jnp.zeros((T, batch, 90), jnp.int8),
+        sides=jnp.zeros((T, batch), jnp.int8),
+        pi_actions=jnp.full((T, batch, K), -1, jnp.int32),
+        pi_probs=jnp.zeros((T, batch, K), jnp.float32),
+        rec=jnp.zeros((T, batch), bool),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+
+    # games still alive after T loop iterations: material adjudication
+    leftover = alive_of(out)
+    forced_winner = jnp.where(
+        leftover, jax.vmap(_adjudicate)(out.states.board), out.forced_winner
+    )
+    winners = jnp.where(
+        out.states.done, out.states.winner, forced_winner
+    ).astype(jnp.int8)
+
+    # z labels vs recorded player (reference: parallel_selfplay.py:120-129)
+    w = winners[None, :].astype(jnp.int32)
+    sd = out.sides.astype(jnp.int32)
+    z = jnp.where(
+        w == 0, 0.0, jnp.where(sd == w, 1.0, -1.0)
+    ).astype(jnp.float32)
+    z = jnp.where(out.rec, z, 0.0)
+
+    return SelfPlayOut(
+        boards=out.boards,
+        sides=out.sides,
+        pi_actions=out.pi_actions,
+        pi_probs=out.pi_probs,
+        values=z,
+        rec=out.rec,
+        winners=winners,
+        plies=out.n_rec,
+        total_moves=out.states.ply,
+    )

@@ -1,0 +1,323 @@
+"""AlphaZero training orchestration: self-play -> train -> gated eval loop.
+
+Reference parity (training/train.py:168-638): two model copies (current +
+best), self-play always uses the best model, evaluation every
+eval_interval iterations promotes the candidate at win_rate >= threshold or
+resets it to the incumbent, checkpoints every save_interval, and a
+training_stats.json is rewritten each iteration.
+
+TPU-native: the whole self-play iteration and the whole eval match batch are
+single fused device programs (see selfplay.py / evaluate.py); the learner
+consumes compact host samples and rebuilds features on device. Parameters
+are passed as traced arguments so weight updates never trigger recompiles —
+the reference's stop-the-world inference-server restart on update_model
+(inference_server.py:479-496) has no equivalent here; the new weights are
+just the next call's arguments.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import XiangqiNet, count_parameters, init_net
+from . import checkpoint as ckpt
+from .config import TrainingConfig
+from .evaluate import EvalOut, EvalSettings, evaluate_pair
+from .learner import make_optimizer, set_learning_rate, train_step
+from .replay import ReplayBuffer
+from .selfplay import SelfPlaySettings, selfplay_games
+
+logger = logging.getLogger("xiangqi_az_tpu")
+
+
+def _net_eval_fn(net: XiangqiNet, variables):
+    """(features) -> (softmax probs, value) with traced variables."""
+
+    def f(feats):
+        logits, value = net.apply(variables, feats, train=False)
+        return jax.nn.softmax(logits, axis=-1), value.squeeze(-1)
+
+    return f
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _run_selfplay(net, batch: int, settings: SelfPlaySettings, variables, rng):
+    return selfplay_games(_net_eval_fn(net, variables), batch, rng, settings)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _run_eval(net, batch: int, settings: EvalSettings, vars_new, vars_old, rng):
+    return evaluate_pair(
+        _net_eval_fn(net, vars_new),
+        _net_eval_fn(net, vars_old),
+        batch,
+        rng,
+        settings,
+    )
+
+
+class AlphaZeroTrainer:
+    def __init__(self, cfg: TrainingConfig):
+        self.cfg = cfg
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        self.net, variables = init_net(
+            jax.random.key(cfg.seed),
+            channels=cfg.num_channels,
+            blocks=cfg.num_res_blocks,
+            dtype=dtype,
+        )
+        self.params = variables["params"]
+        self.batch_stats = variables["batch_stats"]
+        self.best_params = jax.tree.map(jnp.copy, self.params)
+        self.best_stats = jax.tree.map(jnp.copy, self.batch_stats)
+
+        self.tx = make_optimizer(cfg.learning_rate, cfg.weight_decay)
+        self.opt_state = self.tx.init(self.params)
+
+        self.buffer = ReplayBuffer(cfg.max_buffer_size, cfg.max_children)
+        self.iteration = 0
+        self.total_games = 0
+        self.training_stats = []
+        self.rng = jax.random.key(cfg.seed + 1)
+        self.np_rng = np.random.default_rng(cfg.seed + 2)
+
+        self.sp_settings = SelfPlaySettings(
+            num_simulations=cfg.num_simulations,
+            c_puct=cfg.c_puct,
+            max_children=cfg.max_children,
+            max_game_length=cfg.max_game_length,
+            temperature_threshold=cfg.temperature_threshold,
+            random_opening_moves=cfg.random_opening_moves,
+            enable_resign=cfg.enable_resign,
+            resign_threshold=cfg.resign_threshold,
+            resign_check_steps=cfg.resign_check_steps,
+        )
+        self.eval_settings = EvalSettings(
+            num_simulations=cfg.eval_simulations,
+            c_puct=cfg.c_puct,
+            max_children=cfg.max_children,
+            max_game_length=cfg.max_game_length,
+        )
+        os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+        logger.info(
+            "model: %d channels x %d blocks, %s params",
+            cfg.num_channels,
+            cfg.num_res_blocks,
+            f"{count_parameters(self.params):,}",
+        )
+
+    # ------------------------------------------------------------ phases
+    def _next_key(self):
+        self.rng, k = jax.random.split(self.rng)
+        return k
+
+    def self_play(self) -> Dict:
+        t0 = time.time()
+        best_vars = {"params": self.best_params, "batch_stats": self.best_stats}
+        out = _run_selfplay(
+            self.net,
+            self.cfg.num_games_per_iter,
+            self.sp_settings,
+            best_vars,
+            self._next_key(),
+        )
+        out = jax.tree.map(np.asarray, out)
+        rec = out.rec.reshape(-1)
+        n_new = self.buffer.add_games(
+            out.boards.reshape(-1, 90)[rec],
+            out.sides.reshape(-1)[rec],
+            out.pi_actions.reshape(-1, self.cfg.max_children)[rec],
+            out.pi_probs.reshape(-1, self.cfg.max_children)[rec],
+            out.values.reshape(-1)[rec],
+        )
+        winners = out.winners
+        self.total_games += len(winners)
+        stats = {
+            "games": int(len(winners)),
+            "red_wins": int((winners == 1).sum()),
+            "black_wins": int((winners == -1).sum()),
+            "draws": int((winners == 0).sum()),
+            "avg_steps": float(out.plies.mean()),
+            "new_samples": int(n_new),
+            "buffer_size": len(self.buffer),
+            "time": time.time() - t0,
+        }
+        logger.info("self-play: %s", stats)
+        return stats
+
+    def train_network(self) -> Dict:
+        if len(self.buffer) < self.cfg.min_buffer_size:
+            logger.info(
+                "buffer %d < min %d, skipping training",
+                len(self.buffer),
+                self.cfg.min_buffer_size,
+            )
+            return {}
+        t0 = time.time()
+        lr = self.cfg.lr_at(self.iteration)
+        self.opt_state = set_learning_rate(self.opt_state, lr)
+        tot_p, tot_v, n_batches = 0.0, 0.0, 0
+        for _ in range(self.cfg.num_epochs):
+            for batch in self.buffer.epoch_batches(
+                self.cfg.batch_size, self.np_rng
+            ):
+                (
+                    self.params,
+                    self.batch_stats,
+                    self.opt_state,
+                    metrics,
+                ) = train_step(
+                    self.net,
+                    self.tx,
+                    self.params,
+                    self.batch_stats,
+                    self.opt_state,
+                    *[jnp.asarray(x) for x in batch],
+                )
+                tot_p += float(metrics.policy_loss)
+                tot_v += float(metrics.value_loss)
+                n_batches += 1
+        stats = {
+            "policy_loss": tot_p / max(n_batches, 1),
+            "value_loss": tot_v / max(n_batches, 1),
+            "total_loss": (tot_p + tot_v) / max(n_batches, 1),
+            "learning_rate": lr,
+            "batches": n_batches,
+            "time": time.time() - t0,
+        }
+        logger.info("train: %s", stats)
+        return stats
+
+    def evaluate(self) -> Dict:
+        t0 = time.time()
+        out: EvalOut = _run_eval(
+            self.net,
+            self.cfg.eval_games,
+            self.eval_settings,
+            {"params": self.params, "batch_stats": self.batch_stats},
+            {"params": self.best_params, "batch_stats": self.best_stats},
+            self._next_key(),
+        )
+        new_wins, old_wins, draws = (
+            int(out.new_wins),
+            int(out.old_wins),
+            int(out.draws),
+        )
+        win_rate = (new_wins + 0.5 * draws) / max(self.cfg.eval_games, 1)
+        updated = win_rate >= self.cfg.eval_win_rate
+        if updated:
+            self.best_params = jax.tree.map(jnp.copy, self.params)
+            self.best_stats = jax.tree.map(jnp.copy, self.batch_stats)
+            logger.info(">>> best model updated (win_rate %.2f) <<<", win_rate)
+        else:
+            # candidate failed the gate: reset to incumbent (train.py:532)
+            self.params = jax.tree.map(jnp.copy, self.best_params)
+            self.batch_stats = jax.tree.map(jnp.copy, self.best_stats)
+            logger.info("candidate rejected (win_rate %.2f)", win_rate)
+        return {
+            "new_wins": new_wins,
+            "old_wins": old_wins,
+            "draws": draws,
+            "win_rate": win_rate,
+            "model_updated": updated,
+            "time": time.time() - t0,
+        }
+
+    # -------------------------------------------------------- lifecycle
+    def save(self, is_best: bool = False) -> str:
+        payload = {
+            "iteration": self.iteration,
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "best_params": self.best_params,
+            "best_batch_stats": self.best_stats,
+            "opt_state": self.opt_state,
+            "total_games": self.total_games,
+            "config": {
+                "num_channels": self.cfg.num_channels,
+                "num_res_blocks": self.cfg.num_res_blocks,
+            },
+        }
+        path = ckpt.save_checkpoint(self.cfg.checkpoint_dir, self.iteration, payload)
+        if is_best:
+            ckpt.save_best_model(
+                self.cfg.checkpoint_dir,
+                self.iteration,
+                self.best_params,
+                self.best_stats,
+                {
+                    "num_channels": self.cfg.num_channels,
+                    "num_res_blocks": self.cfg.num_res_blocks,
+                },
+            )
+        logger.info("checkpoint saved: %s", path)
+        return path
+
+    def restore(self, path: str) -> None:
+        target = {
+            "iteration": 0,
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "best_params": self.best_params,
+            "best_batch_stats": self.best_stats,
+            "opt_state": self.opt_state,
+            "total_games": 0,
+            "config": {
+                "num_channels": self.cfg.num_channels,
+                "num_res_blocks": self.cfg.num_res_blocks,
+            },
+        }
+        restored = ckpt.load_checkpoint(path, target)
+        self.params = jax.tree.map(jnp.asarray, restored["params"])
+        self.batch_stats = jax.tree.map(jnp.asarray, restored["batch_stats"])
+        self.best_params = jax.tree.map(jnp.asarray, restored["best_params"])
+        self.best_stats = jax.tree.map(jnp.asarray, restored["best_batch_stats"])
+        self.opt_state = jax.tree.map(jnp.asarray, restored["opt_state"])
+        self.iteration = int(restored["iteration"])
+        self.total_games = int(restored["total_games"])
+        logger.info("restored %s at iteration %d", path, self.iteration)
+
+    def run_iteration(self) -> Dict:
+        self.iteration += 1
+        t0 = time.time()
+        sp_stats = self.self_play()
+        train_stats = self.train_network()
+        eval_stats = {}
+        if (
+            self.iteration % self.cfg.eval_interval == 0
+            and len(self.buffer) >= self.cfg.min_buffer_size
+        ):
+            eval_stats = self.evaluate()
+        if self.iteration % self.cfg.save_interval == 0:
+            self.save(is_best=True)
+        stats = {
+            "iteration": self.iteration,
+            "time": time.time() - t0,
+            "self_play": sp_stats,
+            "training": train_stats,
+            "evaluation": eval_stats,
+        }
+        self.training_stats.append(stats)
+        with open(
+            os.path.join(self.cfg.checkpoint_dir, "training_stats.json"), "w"
+        ) as f:
+            json.dump(self.training_stats, f, indent=2, default=str)
+        logger.info("iteration %d done in %.1fs", self.iteration, stats["time"])
+        return stats
+
+    def train(self, resume: Optional[str] = None) -> None:
+        if resume:
+            self.restore(resume)
+        while self.iteration < self.cfg.num_iterations:
+            self.run_iteration()
+        self.save(is_best=True)
+        logger.info("training complete: %d iterations", self.iteration)
