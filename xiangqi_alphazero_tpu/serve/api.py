@@ -1,0 +1,200 @@
+"""Human-vs-AI REST API — dependency-free stdlib HTTP server.
+
+Endpoint-for-endpoint parity with the reference Flask backend
+(reference: demo/app.py:135-319): GET /api/models, POST /api/load_model,
+POST /api/new_game, POST /api/human_move, POST /api/get_legal_moves,
+GET /api/game_state, and / serving the static board UI. Single global game,
+no sessions — same scope as the reference (demo/app.py:40-48).
+
+Implemented on http.server (Flask isn't a framework dependency); the handler
+delegates to a plain ``GameService`` object that is also directly usable in
+tests without sockets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional, Tuple
+
+from ..engine.oracle import Position, encode_action
+from .predictor import Predictor, find_models
+
+_STATIC_DIR = os.path.join(os.path.dirname(__file__), "static")
+
+
+class GameService:
+    """The API's logic, transport-free."""
+
+    def __init__(self, model_dirs: Optional[List[str]] = None):
+        self.model_dirs = model_dirs or ["models", "checkpoints"]
+        self.predictor: Optional[Predictor] = None
+        self.model_name: Optional[str] = None
+        self.game: Optional[Position] = None
+        self.human_side = 1
+        self.num_simulations = 500
+        self.lock = threading.Lock()
+
+    # each method returns (status_code, payload)
+    def models(self) -> Tuple[int, Dict]:
+        return 200, {
+            "models": find_models(self.model_dirs),
+            "current": self.model_name,
+            "device": "tpu",
+        }
+
+    def load_model(self, data: Dict) -> Tuple[int, Dict]:
+        name = data.get("model_name")
+        found = [m for m in find_models(self.model_dirs) if m["name"] == name]
+        if not found:
+            return 404, {"error": f"model {name} not found"}
+        try:
+            self.predictor = Predictor.load(
+                found[0]["path"], num_simulations=self.num_simulations
+            )
+            self.model_name = name
+            return 200, {"success": True, "model_name": name, "device": "tpu"}
+        except Exception as e:  # noqa: BLE001 — surfaced to the client
+            return 500, {"error": str(e)}
+
+    def new_game(self, data: Dict) -> Tuple[int, Dict]:
+        self.human_side = 1 if data.get("human_side", "red") == "red" else -1
+        sims = int(data.get("num_simulations", 500))
+        self.num_simulations = max(10, min(10000, sims))
+        if self.predictor is not None:
+            self.predictor.num_simulations = self.num_simulations
+            self.predictor.__dict__.pop("_search", None)  # re-jit at new depth
+        self.game = Position()
+        result = {
+            "board": self.game.board_array().reshape(10, 9).tolist(),
+            "current_player": self.game.side,
+            "human_side": self.human_side,
+            "game_over": False,
+            "winner": None,
+            "ai_analysis": None,
+        }
+        if self.human_side == -1 and self.predictor is not None:
+            result.update(self.predictor.ai_move(self.game))
+        return 200, result
+
+    def human_move(self, data: Dict) -> Tuple[int, Dict]:
+        if self.game is None:
+            return 400, {"error": "no active game"}
+        if self.game.side != self.human_side:
+            return 400, {"error": "not your turn"}
+        a = encode_action(
+            data["from_row"], data["from_col"], data["to_row"], data["to_col"]
+        )
+        if a not in self.game.legal_actions():
+            return 400, {"error": "illegal move"}
+        self.game.apply(a)
+        done, winner = self.game.result()
+        result = {
+            "board": self.game.board_array().reshape(10, 9).tolist(),
+            "current_player": self.game.side,
+            "game_over": done,
+            "winner": int(winner) if winner else None,
+            "ai_analysis": None,
+        }
+        if not done and self.predictor is not None:
+            result.update(self.predictor.ai_move(self.game))
+        return 200, result
+
+    def get_legal_moves(self, data: Dict) -> Tuple[int, Dict]:
+        if self.game is None:
+            return 400, {"error": "no active game"}
+        fr, fc = data["row"], data["col"]
+        moves = [
+            {"to_row": tr, "to_col": tc}
+            for mfr, mfc, tr, tc in self.game.legal_moves()
+            if (mfr, mfc) == (fr, fc)
+        ]
+        return 200, {"moves": moves}
+
+    def game_state(self) -> Tuple[int, Dict]:
+        if self.game is None:
+            return 200, {"active": False}
+        done, winner = self.game.result()
+        return 200, {
+            "active": True,
+            "board": self.game.board_array().reshape(10, 9).tolist(),
+            "current_player": self.game.side,
+            "human_side": self.human_side,
+            "game_over": done,
+            "winner": int(winner) if winner else None,
+            "move_count": self.game.ply,
+        }
+
+
+def make_handler(service: GameService):
+    routes_post = {
+        "/api/load_model": service.load_model,
+        "/api/new_game": service.new_game,
+        "/api/human_move": service.human_move,
+        "/api/get_legal_moves": service.get_legal_moves,
+    }
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: Dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/api/models":
+                self._send(*service.models())
+            elif self.path == "/api/game_state":
+                self._send(*service.game_state())
+            elif self.path in ("/", "/index.html"):
+                index = os.path.join(_STATIC_DIR, "index.html")
+                try:
+                    with open(index, "rb") as f:
+                        body = f.read()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                except FileNotFoundError:
+                    self._send(404, {"error": "no UI bundled"})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):  # noqa: N802
+            fn = routes_post.get(self.path)
+            if fn is None:
+                self._send(404, {"error": "not found"})
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            data = json.loads(self.rfile.read(n) or b"{}")
+            with service.lock:
+                self._send(*fn(data))
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+    return Handler
+
+
+def serve(host: str = "127.0.0.1", port: int = 5000,
+          model_dirs: Optional[List[str]] = None) -> None:
+    service = GameService(model_dirs)
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    print(f"xiangqi-az-tpu demo API on http://{host}:{port}")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=5000)
+    p.add_argument("--model-dirs", nargs="*", default=None)
+    a = p.parse_args()
+    serve(a.host, a.port, a.model_dirs)
