@@ -30,6 +30,23 @@ PIECE_NAMES = {
     -1: "将", -2: "士", -3: "象", -4: "马", -5: "车", -6: "炮", -7: "卒",
 }
 
+_FORCE_PYTHON_RULES = False
+
+
+def use_python_rules(force: bool) -> None:
+    """Force the pure-Python movegen (disable the native core)."""
+    global _FORCE_PYTHON_RULES
+    _FORCE_PYTHON_RULES = force
+
+
+def _native_lib():
+    if _FORCE_PYTHON_RULES:
+        return None
+    from . import native
+
+    return native.load()
+
+
 _ORTH = ((1, 0), (-1, 0), (0, 1), (0, -1))
 _DIAG = ((1, 1), (1, -1), (-1, 1), (-1, -1))
 _HORSE = ((2, 1), (2, -1), (-2, 1), (-2, -1), (1, 2), (1, -2), (-1, 2), (-1, -2))
@@ -291,18 +308,28 @@ class Position:
             b[f], b[t] = moving, captured
 
     def legal_actions(self) -> List[int]:
-        """All legal actions for the side to move, ascending (cached)."""
+        """All legal actions for the side to move, ascending (cached).
+
+        Uses the native C++ core when available (same auto-detect-with-
+        fallback contract as the reference's Cython loader, game.py:31-47,
+        501-518); ``use_python_rules(True)`` forces the pure-Python path
+        (differential tests rely on it)."""
         if self._legal_cache is not None:
             return self._legal_cache
-        out: List[int] = []
-        for s in range(NSQ):
-            p = self.board[s]
-            if p == 0 or (p > 0) != (self.side > 0):
-                continue
-            for t in self._piece_dests(s):
-                if self._move_safe(s, t):
-                    out.append(s * NSQ + t)
-        out.sort()
+        if _native_lib():
+            from . import native
+
+            out = native.gen_legal(self.board_array(), self.side)
+        else:
+            out = []
+            for s in range(NSQ):
+                p = self.board[s]
+                if p == 0 or (p > 0) != (self.side > 0):
+                    continue
+                for t in self._piece_dests(s):
+                    if self._move_safe(s, t):
+                        out.append(s * NSQ + t)
+            out.sort()
         self._legal_cache = out
         return out
 
