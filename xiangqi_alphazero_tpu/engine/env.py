@@ -325,8 +325,12 @@ def _terminal(
     return done, winners[first]
 
 
-def step(state: EnvState, action: jax.Array) -> EnvState:
-    """Apply ``action`` (int32 in [0, 8100)). No-op on finished games."""
+def step_core(state: EnvState, action: jax.Array) -> EnvState:
+    """Board/counter/history update ONLY — ``legal``/``done``/``winner`` are
+    left STALE. This is the cheap half of ``step`` for callers that already
+    know the resulting position's status (the MCTS descent re-walks known
+    interior nodes whose terminality is stored in the tree) or will call
+    ``evaluate_state`` at the end. Does NOT freeze finished games."""
     T = _T()
     a = action.astype(jnp.int32)
     f, t = T["FR"][a], T["TO"][a]
@@ -336,22 +340,28 @@ def step(state: EnvState, action: jax.Array) -> EnvState:
     hist = state.hist.at[state.ply % HIST_LEN].set(state.board)
     board = state.board.at[t].set(piece).at[f].set(jnp.int8(0))
     quiet = jnp.where(captured != 0, 0, state.quiet + 1).astype(jnp.int32)
-    side = (-state.side).astype(jnp.int8)
-    ply = state.ply + 1
-
-    legal = legal_mask(board, side)
-    done, winner = _terminal(board, side, ply, quiet, hist, legal)
-
-    new = EnvState(
+    return state.replace(
         board=board,
-        side=side,
-        ply=ply,
+        side=(-state.side).astype(jnp.int8),
+        ply=state.ply + 1,
         quiet=quiet,
         hist=hist,
-        done=done,
-        winner=winner,
-        legal=legal,
     )
+
+
+def evaluate_state(state: EnvState) -> EnvState:
+    """Fill in ``legal``/``done``/``winner`` from the core fields (the
+    expensive half of ``step``)."""
+    legal = legal_mask(state.board, state.side)
+    done, winner = _terminal(
+        state.board, state.side, state.ply, state.quiet, state.hist, legal
+    )
+    return state.replace(legal=legal, done=done, winner=winner)
+
+
+def step(state: EnvState, action: jax.Array) -> EnvState:
+    """Apply ``action`` (int32 in [0, 8100)). No-op on finished games."""
+    new = evaluate_state(step_core(state, action))
     return jax.tree.map(
         lambda n, o: jnp.where(state.done, o, n), new, state
     )

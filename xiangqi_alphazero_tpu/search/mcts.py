@@ -160,7 +160,10 @@ def _descend_one(tree: Tree, root_state: E.EnvState, c_puct: float, max_depth: i
         ucb = jnp.where(valid, q + u, -jnp.inf)
         slot = jnp.argmax(ucb).astype(jnp.int32)
         a = acts[slot]
-        env2 = E.step(c.env, a)
+        # cheap core step: interior nodes' terminality lives in the tree;
+        # the leaf's legal mask / terminal verdict is computed once after
+        # descent (run_mcts calls evaluate_state on the batch of leaves)
+        env2 = E.step_core(c.env, a)
         ch = tree.child[c.cur, slot]
         is_new = ch == 0
         ch_unexpanded = ~is_new & ~tree.expanded[ch]
@@ -330,6 +333,7 @@ def run_mcts(
         mode, sel_parent, sel_slot, leaf, env_leaf = descend(
             tree, roots, cfg.c_puct, max_depth
         )
+        env_leaf = jax.vmap(E.evaluate_state)(env_leaf)
         leaf_feats = E.v_features(env_leaf.board, env_leaf.side)
         probs, value = eval_fn(leaf_feats)
 
