@@ -171,9 +171,16 @@ def make_handler(service: GameService):
                 self._send(404, {"error": "not found"})
                 return
             n = int(self.headers.get("Content-Length", 0))
-            data = json.loads(self.rfile.read(n) or b"{}")
-            with service.lock:
-                self._send(*fn(data))
+            try:
+                data = json.loads(self.rfile.read(n) or b"{}")
+            except ValueError:
+                self._send(400, {"error": "invalid JSON body"})
+                return
+            try:
+                with service.lock:
+                    self._send(*fn(data))
+            except (KeyError, TypeError, ValueError) as e:
+                self._send(400, {"error": f"bad request: {e!r}"})
 
         def log_message(self, fmt, *args):  # quiet
             pass

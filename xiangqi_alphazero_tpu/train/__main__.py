@@ -21,6 +21,9 @@ def main(argv=None) -> int:
             logging.StreamHandler(),
             logging.FileHandler(os.path.join(cfg.checkpoint_dir, "training.log")),
         ],
+        # jax configures root logging at import; without force the config
+        # above is silently ignored
+        force=True,
     )
     trainer = AlphaZeroTrainer(cfg)
     trainer.train(resume=resume)
