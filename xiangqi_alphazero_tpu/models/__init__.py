@@ -1,1 +1,6 @@
-from .resnet import XiangqiNet, count_parameters, init_net  # noqa: F401
+from .resnet import (  # noqa: F401
+    XiangqiNet,
+    count_parameters,
+    init_net,
+    policy_value_fn,
+)

@@ -107,3 +107,14 @@ def init_net(
 def count_parameters(params) -> int:
     """Total trainable parameter count (reference: model.py:127-129)."""
     return sum(x.size for x in jax.tree.leaves(params))
+
+
+def policy_value_fn(net: XiangqiNet, variables):
+    """(features[B,10,9,15]) -> (softmax policy[B,8100], value[B]) with
+    ``variables`` traced (weight updates never recompile callers)."""
+
+    def f(feats):
+        logits, value = net.apply(variables, feats, train=False)
+        return jax.nn.softmax(logits, axis=-1), value.squeeze(-1)
+
+    return f

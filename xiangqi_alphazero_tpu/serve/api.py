@@ -150,18 +150,26 @@ def make_handler(service: GameService):
                 self._send(*service.models())
             elif self.path == "/api/game_state":
                 self._send(*service.game_state())
-            elif self.path in ("/", "/index.html"):
-                index = os.path.join(_STATIC_DIR, "index.html")
+            elif self.path == "/" or (
+                "/" + os.path.basename(self.path) == self.path
+                and self.path.endswith((".html", ".js", ".css"))
+            ):
+                name = "index.html" if self.path == "/" else self.path[1:]
+                ctype = {
+                    ".html": "text/html; charset=utf-8",
+                    ".js": "text/javascript; charset=utf-8",
+                    ".css": "text/css; charset=utf-8",
+                }[os.path.splitext(name)[1]]
                 try:
-                    with open(index, "rb") as f:
+                    with open(os.path.join(_STATIC_DIR, name), "rb") as f:
                         body = f.read()
                     self.send_response(200)
-                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Content-Type", ctype)
                     self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
                     self.wfile.write(body)
-                except FileNotFoundError:
-                    self._send(404, {"error": "no UI bundled"})
+                except (FileNotFoundError, IsADirectoryError):
+                    self._send(404, {"error": "no such asset"})
             else:
                 self._send(404, {"error": "not found"})
 

@@ -59,6 +59,8 @@ class TrainingConfig:
     # TPU execution
     dtype: str = "bfloat16"          # network compute dtype
     mesh_axis: str = "data"          # self-play + learner data-parallel axis
+    mesh_mode: str = "auto"          # "auto": shard over all local devices
+    #   when batch axes divide the device count; "off": single-device jit
     seed: int = 0
 
     def lr_at(self, iteration: int) -> float:

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models import XiangqiNet, count_parameters, init_net
+from ..models import XiangqiNet, count_parameters, init_net, policy_value_fn
 from . import checkpoint as ckpt
 from .config import TrainingConfig
 from .evaluate import EvalOut, EvalSettings, evaluate_pair
@@ -39,14 +39,7 @@ from .selfplay import SelfPlaySettings, selfplay_games
 logger = logging.getLogger("xiangqi_az_tpu")
 
 
-def _net_eval_fn(net: XiangqiNet, variables):
-    """(features) -> (softmax probs, value) with traced variables."""
-
-    def f(feats):
-        logits, value = net.apply(variables, feats, train=False)
-        return jax.nn.softmax(logits, axis=-1), value.squeeze(-1)
-
-    return f
+_net_eval_fn = policy_value_fn  # kept name: sharding/tests import it
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
@@ -107,6 +100,35 @@ class AlphaZeroTrainer:
             max_children=cfg.max_children,
             max_game_length=cfg.max_game_length,
         )
+
+        # Auto data-parallel over all local devices when every batch axis
+        # divides the device count; single-device jit otherwise.
+        self.mesh = None
+        self._sharded = {}
+        n_dev = len(jax.devices())
+        if (
+            cfg.mesh_mode == "auto"
+            and n_dev > 1
+            and cfg.num_games_per_iter % n_dev == 0
+            and cfg.eval_games % n_dev == 0
+            and cfg.batch_size % n_dev == 0
+        ):
+            from ..parallel import sharding as SH
+
+            self.mesh = SH.make_mesh(axis_name=cfg.mesh_axis)
+            self._sharded = {
+                "selfplay": SH.make_sharded_selfplay(
+                    self.net, cfg.num_games_per_iter, self.sp_settings, self.mesh
+                ),
+                "train": SH.make_sharded_train_step(self.net, self.tx, self.mesh),
+                "eval": SH.make_sharded_eval(
+                    self.net, cfg.eval_games, self.eval_settings, self.mesh
+                ),
+            }
+            logger.info(
+                "data-parallel over %d devices (%s)", n_dev, cfg.mesh_axis
+            )
+
         os.makedirs(cfg.checkpoint_dir, exist_ok=True)
         logger.info(
             "model: %d channels x %d blocks, %s params",
@@ -123,13 +145,16 @@ class AlphaZeroTrainer:
     def self_play(self) -> Dict:
         t0 = time.time()
         best_vars = {"params": self.best_params, "batch_stats": self.best_stats}
-        out = _run_selfplay(
-            self.net,
-            self.cfg.num_games_per_iter,
-            self.sp_settings,
-            best_vars,
-            self._next_key(),
-        )
+        if self.mesh is not None:
+            out = self._sharded["selfplay"](best_vars, self._next_key())
+        else:
+            out = _run_selfplay(
+                self.net,
+                self.cfg.num_games_per_iter,
+                self.sp_settings,
+                best_vars,
+                self._next_key(),
+            )
         out = jax.tree.map(np.asarray, out)
         rec = out.rec.reshape(-1)
         n_new = self.buffer.add_games(
@@ -170,19 +195,30 @@ class AlphaZeroTrainer:
             for batch in self.buffer.epoch_batches(
                 self.cfg.batch_size, self.np_rng
             ):
-                (
-                    self.params,
-                    self.batch_stats,
-                    self.opt_state,
-                    metrics,
-                ) = train_step(
-                    self.net,
-                    self.tx,
-                    self.params,
-                    self.batch_stats,
-                    self.opt_state,
-                    *[jnp.asarray(x) for x in batch],
-                )
+                args = [jnp.asarray(x) for x in batch]
+                if self.mesh is not None:
+                    (
+                        self.params,
+                        self.batch_stats,
+                        self.opt_state,
+                        metrics,
+                    ) = self._sharded["train"](
+                        self.params, self.batch_stats, self.opt_state, *args
+                    )
+                else:
+                    (
+                        self.params,
+                        self.batch_stats,
+                        self.opt_state,
+                        metrics,
+                    ) = train_step(
+                        self.net,
+                        self.tx,
+                        self.params,
+                        self.batch_stats,
+                        self.opt_state,
+                        *args,
+                    )
                 tot_p += float(metrics.policy_loss)
                 tot_v += float(metrics.value_loss)
                 n_batches += 1
@@ -199,14 +235,21 @@ class AlphaZeroTrainer:
 
     def evaluate(self) -> Dict:
         t0 = time.time()
-        out: EvalOut = _run_eval(
-            self.net,
-            self.cfg.eval_games,
-            self.eval_settings,
-            {"params": self.params, "batch_stats": self.batch_stats},
-            {"params": self.best_params, "batch_stats": self.best_stats},
-            self._next_key(),
-        )
+        vars_new = {"params": self.params, "batch_stats": self.batch_stats}
+        vars_old = {"params": self.best_params, "batch_stats": self.best_stats}
+        if self.mesh is not None:
+            out: EvalOut = self._sharded["eval"](
+                vars_new, vars_old, self._next_key()
+            )
+        else:
+            out = _run_eval(
+                self.net,
+                self.cfg.eval_games,
+                self.eval_settings,
+                vars_new,
+                vars_old,
+                self._next_key(),
+            )
         new_wins, old_wins, draws = (
             int(out.new_wins),
             int(out.old_wins),
