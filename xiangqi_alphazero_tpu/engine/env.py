@@ -60,6 +60,14 @@ def _T() -> dict:
     for k, v in t.items():
         out[k] = jnp.asarray(v)
     out["BLOCK_F"] = jnp.asarray(t["BLOCK"].astype(np.float32))
+    # one-hot expanders: value-at-FR[a] / value-at-TO[a] as matmuls — on TPU
+    # a [B,90]x[90,8100] MXU matmul beats 8100-wide gathers
+    from1h = np.zeros((90, ACTION_SPACE), np.float32)
+    to1h = np.zeros((90, ACTION_SPACE), np.float32)
+    from1h[t["FR"], np.arange(ACTION_SPACE)] = 1.0
+    to1h[t["TO"], np.arange(ACTION_SPACE)] = 1.0
+    out["FROM1H"] = jnp.asarray(from1h)
+    out["TO1H"] = jnp.asarray(to1h)
     return out
 
 
@@ -87,18 +95,46 @@ def legal_mask(board: jax.Array, side: jax.Array) -> jax.Array:
     si = (s32 < 0).astype(jnp.int32)   # 0 red / 1 black
     ei = 1 - si
 
+    # All wide arithmetic runs in bfloat16 on accelerators: every quantity
+    # here is a small integer (piece codes <= 7, blocker counts <= 8), exact
+    # in bf16, and the [*, 8100] intermediates are HBM-bandwidth bound.
+    cpu = jax.default_backend() == "cpu"
+    dt = jnp.float32 if cpu else jnp.bfloat16
+
     occ = board != 0
     occ_i = occ.astype(jnp.int32)
+    occ_f = occ.astype(dt)
     blockcnt = jnp.dot(
-        occ.astype(jnp.float32), T["BLOCK_F"], preferred_element_type=jnp.float32
+        occ_f, T["BLOCK_F"].astype(dt), preferred_element_type=dt
     )
     b0 = blockcnt < 0.5
     b1 = (blockcnt > 0.5) & (blockcnt < 1.5)
 
-    pf = board[FR].astype(jnp.int32)
-    pt = board[TO].astype(jnp.int32)
-    spf = pf * s32   # own piece kinds positive at the from-square
-    spt = pt * s32
+    # 90 -> 8100 expansions (value at FR[a] / TO[a]): one-hot MXU matmuls on
+    # TPU (beat wide gathers), plain gathers on CPU (beat matmuls). Resolved
+    # at trace time — the branch is static per backend.
+    if cpu:
+
+        def ef(v):
+            return v[..., FR]
+
+        def et(v):
+            return v[..., TO]
+
+    else:
+
+        def ef(v):
+            return jnp.dot(v, T["FROM1H"].astype(dt), preferred_element_type=dt)
+
+        def et(v):
+            return jnp.dot(v, T["TO1H"].astype(dt), preferred_element_type=dt)
+
+    board_f = board.astype(dt)
+    side_f = side.astype(dt)
+    pf = ef(board_f)   # piece values exact
+    pt = et(board_f)
+    spf = pf * side_f  # own piece kinds positive at the from-square
+    spt = pt * side_f
     own_t = spt > 0
     enemy_t = spt < 0
     empty_t = pt == 0
@@ -136,57 +172,80 @@ def legal_mask(board: jax.Array, side: jax.Array) -> jax.Array:
     ek_v = jnp.any(is_e_king)
 
     # Generic path: the king stays at k; move is (FR[a], TO[a]).
-    def ray_threat(s, valid, want):
-        btwrow = T["BTW"][s, k].astype(jnp.int32)      # [90]
-        cnt0 = jnp.dot(btwrow, occ_i)
-        cntp = cnt0 - btwrow[FR] + jnp.where(occ_t, 0, btwrow[TO])
-        return valid & T["ALIGNED_SQ"][s, k] & (TO != s) & (cntp == want)
+    # Ray attackers (2 rooks, 2 cannons, enemy king = flying general) as ONE
+    # stacked computation: the [5,90] between-rows expand through the MXU in
+    # a single matmul pair and reduce over the slot axis.
+    ray_s = jnp.concatenate([rk_i, cn_i, ek[None]])           # [5]
+    ray_v = jnp.concatenate([rk_v, cn_v, ek_v[None]])         # [5]
+    ray_want = jnp.asarray([0, 0, 1, 1, 0], dt)               # screen counts
 
-    def horse_threat(s, valid):
-        geom = T["HORSE_PAIR"][s, k]
-        leg = T["KLEG"][s, k]
-        loccp = jnp.where(TO == leg, 1, jnp.where(FR == leg, 0, occ_i[leg]))
-        return valid & geom & (TO != s) & (loccp == 0)
+    btwrows = T["BTW"][ray_s, k].astype(dt)                   # [5, 90]
+    cnt0 = btwrows @ occ_f                                    # [5]
+    cntp = cnt0[:, None] - ef(btwrows) + jnp.where(
+        occ_t[None, :], jnp.asarray(0, dt), et(btwrows)
+    )
+    ray_hit = (
+        (ray_v & T["ALIGNED_SQ"][ray_s, k])[:, None]
+        & (TO[None, :] != ray_s[:, None])
+        & (cntp == ray_want[:, None])
+    )
+    unsafe = jnp.any(ray_hit, axis=0)
 
-    def pawn_threat(s, valid):
-        return valid & T["PAWN_ATK"][ei, s, k] & (TO != s)
+    hs_geom = T["HORSE_PAIR"][hs_i, k]                        # [2]
+    hs_leg = T["KLEG"][hs_i, k]                               # [2]
+    hs_locc = occ_i[hs_leg]                                   # [2]
+    loccp = jnp.where(
+        TO[None, :] == hs_leg[:, None],
+        1,
+        jnp.where(FR[None, :] == hs_leg[:, None], 0, hs_locc[:, None]),
+    )
+    horse_hit = (
+        (hs_v & hs_geom)[:, None]
+        & (TO[None, :] != hs_i[:, None])
+        & (loccp == 0)
+    )
+    unsafe |= jnp.any(horse_hit, axis=0)
 
-    unsafe = ray_threat(ek, ek_v, 0)  # enemy king ray == flying general
-    for i in range(2):
-        unsafe |= ray_threat(rk_i[i], rk_v[i], 0)
-        unsafe |= ray_threat(cn_i[i], cn_v[i], 1)
-        unsafe |= horse_threat(hs_i[i], hs_v[i])
-    for i in range(5):
-        unsafe |= pawn_threat(pw_i[i], pw_v[i])
+    pw_geom = T["PAWN_ATK"][ei, pw_i, k]                      # [5]
+    pawn_hit = (pw_v & pw_geom)[:, None] & (TO[None, :] != pw_i[:, None])
+    unsafe |= jnp.any(pawn_hit, axis=0)
 
     # King-move path: 9 candidate palace destinations j, king vacates k.
     pal = T["PALACE_SQ"][si]  # int32[9]
 
-    def ray_threat_pal(s, valid, want):
-        rows = T["BTW"][s][pal].astype(jnp.int32)  # [9, 90] between(s, j, .)
-        cnt0 = rows @ occ_i
-        cntp = cnt0 - rows[:, k]                   # king left k
-        return valid & T["ALIGNED_SQ"][s][pal] & (pal != s) & (cntp == want)
+    rows_pal = T["BTW"][ray_s[:, None], pal[None, :]].astype(dt)  # [5,9,90]
+    cnt0p = rows_pal @ occ_f                                      # [5,9]
+    cntpp = cnt0p - rows_pal[:, :, k]                             # king left k
+    pal_ray = (
+        (ray_v[:, None] & T["ALIGNED_SQ"][ray_s[:, None], pal[None, :]])
+        & (pal[None, :] != ray_s[:, None])
+        & (cntpp == ray_want[:, None])
+    )
+    unsafe_pal = jnp.any(pal_ray, axis=0)
 
-    def horse_threat_pal(s, valid):
-        geom = T["HORSE_PAIR"][s][pal]
-        leg = T["KLEG"][s][pal]                    # [9]
-        loccp = jnp.where(leg == pal, 1, jnp.where(leg == k, 0, occ_i[leg]))
-        return valid & geom & (pal != s) & (loccp == 0)
+    pgeom = T["HORSE_PAIR"][hs_i[:, None], pal[None, :]]          # [2,9]
+    pleg = T["KLEG"][hs_i[:, None], pal[None, :]]                 # [2,9]
+    ploccp = jnp.where(
+        pleg == pal[None, :],
+        1,
+        jnp.where(pleg == k, 0, occ_i[pleg]),
+    )
+    pal_horse = (
+        hs_v[:, None]
+        & pgeom
+        & (pal[None, :] != hs_i[:, None])
+        & (ploccp == 0)
+    )
+    unsafe_pal |= jnp.any(pal_horse, axis=0)
 
-    def pawn_threat_pal(s, valid):
-        return valid & T["PAWN_ATK"][ei, s][pal] & (pal != s)
+    pal_pawn = (
+        (pw_v[:, None] & T["PAWN_ATK"][ei, pw_i[:, None], pal[None, :]])
+        & (pal[None, :] != pw_i[:, None])
+    )
+    unsafe_pal |= jnp.any(pal_pawn, axis=0)
 
-    unsafe_pal = ray_threat_pal(ek, ek_v, 0)
-    for i in range(2):
-        unsafe_pal |= ray_threat_pal(rk_i[i], rk_v[i], 0)
-        unsafe_pal |= ray_threat_pal(cn_i[i], cn_v[i], 1)
-        unsafe_pal |= horse_threat_pal(hs_i[i], hs_v[i])
-    for i in range(5):
-        unsafe_pal |= pawn_threat_pal(pw_i[i], pw_v[i])
-
-    unsafe_sq = jnp.zeros(NSQ, bool).at[pal].set(unsafe_pal)
-    king_unsafe = unsafe_sq[TO]
+    unsafe_sq = jnp.zeros(NSQ, dt).at[pal].set(unsafe_pal.astype(dt))
+    king_unsafe = et(unsafe_sq) > 0.5
 
     safe = jnp.where(FR == k, ~king_unsafe, ~unsafe)
     return pseudo & safe & has_king
