@@ -26,7 +26,7 @@ def main() -> None:
     from xiangqi_alphazero_tpu.models import init_net
     from xiangqi_alphazero_tpu.search import MCTSConfig, run_mcts
 
-    batch = 256
+    batch = 2048
     sims = 64
     net, variables = init_net(
         jax.random.key(0), channels=64, blocks=3, dtype=jnp.bfloat16
@@ -69,7 +69,7 @@ def main() -> None:
             {
                 "metric": "mcts_sims_per_sec",
                 "value": round(sims_per_sec, 1),
-                "unit": "simulations/s (batch=256 games, 64 sims/move, 64ch/3res net, 1 chip)",
+                "unit": f"simulations/s (batch={batch} games, 64 sims/move, 64ch/3res net, 1 chip)",
                 "vs_baseline": round(sims_per_sec / BASELINE_SIMS_PER_SEC, 2),
             }
         )

@@ -435,8 +435,38 @@ def reset_batch(batch: int) -> EnvState:
         lambda x: jnp.broadcast_to(x, (batch,) + x.shape), reset()
     )
 
-v_step = jax.vmap(step)
-v_legal_mask = jax.vmap(legal_mask)
+
+def legal_mask_batch(board: jax.Array, side: jax.Array) -> jax.Array:
+    """Batched legal mask bool[B, 8100]. On TPU this runs the fused Pallas
+    kernel (ops/legal_mask.py) — bit-identical to the XLA path but one
+    VMEM-resident pass instead of ~15 HBM-bound [B, 8100] intermediates."""
+    if jax.default_backend() == "tpu":
+        return _ops_legal_mask().legal_mask_pallas(board, side)
+    return jax.vmap(legal_mask)(board, side)
+
+
+def evaluate_batch(state: EnvState) -> EnvState:
+    """Batched ``evaluate_state`` (uses the fused legal-mask kernel on TPU)."""
+    legal = legal_mask_batch(state.board, state.side)
+    done, winner = jax.vmap(_terminal)(
+        state.board, state.side, state.ply, state.quiet, state.hist, legal
+    )
+    return state.replace(legal=legal, done=done, winner=winner)
+
+
+def step_batch(state: EnvState, action: jax.Array) -> EnvState:
+    """Batched ``step`` (no-op on finished games)."""
+    new = evaluate_batch(jax.vmap(step_core)(state, action))
+    return jax.tree.map(
+        lambda n, o: jnp.where(
+            state.done.reshape((-1,) + (1,) * (o.ndim - 1)), o, n
+        ),
+        new,
+        state,
+    )
+
+v_step = step_batch
+v_legal_mask = legal_mask_batch
 v_features = jax.vmap(features)
 v_material = jax.vmap(material, in_axes=(0, None))
 v_is_in_check = jax.vmap(is_in_check)
@@ -477,3 +507,16 @@ def state_from_numpy(board: np.ndarray, side: int, ply: int = 0, quiet: int = 0,
 
 # Materialize table constants at import time (outside any trace).
 _T()
+
+
+@functools.lru_cache(maxsize=1)
+def _ops_legal_mask():
+    from ..ops import legal_mask as _lm
+
+    return _lm
+
+
+if jax.default_backend() == "tpu":
+    # Import (and materialize kernel constants) outside any trace — a lazy
+    # first import inside a jit trace would cache leaked tracers.
+    _ops_legal_mask()

@@ -1,0 +1,453 @@
+"""Fused Pallas TPU kernel for the batched 8100-action legal-move mask.
+
+The XLA formulation in ``engine.env.legal_mask`` materializes ~15 [B, 8100]
+intermediates in HBM (pseudo-move geometry, per-attacker-slot ray counts,
+king-safety verdicts). At self-play batch sizes that is bandwidth-bound:
+the mask costs ~5 us/board on a v5e even though it is only ~40 MFLOP of
+one-hot matmuls. This kernel fuses the whole computation over a
+(batch_tile, action_tile) grid so every intermediate lives in VMEM and HBM
+sees only the small per-board precompute plus ONE [B, 8100] boolean write.
+
+Semantics are identical to ``engine.env.legal_mask`` (which itself is
+bit-exact vs the Python oracle and the reference implementation,
+reference: training/game.py:441-490, training/cython_engine/game_core.pyx).
+The per-board king-safety precompute (attacker slot compaction, palace
+sub-pass) stays in XLA — it is [B, <=5x90]-sized and cheap; the wide
+[B, 8100] phase runs in the kernel:
+
+  - pseudo-legal geometry: piece value at FR/TO via one-hot MXU matmuls
+    (board @ FROM1H), geometric blocker counts via occ @ BLOCK;
+  - king safety for non-king moves: per attacker slot (2 rooks, 2 cannons,
+    enemy king, 2 horses, 5 pawns), update the precomputed attack counts
+    with the move's (from, to) deltas — between-row values at FR/TO come
+    from btw_row @ FROM1H / TO1H matmuls;
+  - king moves: destination safety gathered from the XLA palace sub-pass
+    result (unsafe_sq @ TO1H).
+
+All arithmetic is small-integer-valued (piece codes <= 7, blocker counts
+<= 8): exact in bf16 matmuls with f32 accumulation, so the fused kernel is
+bit-identical to the XLA path (tests/test_pallas_mask.py checks this in
+interpreter mode; the TPU parity suite covers the compiled kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..engine import tables as _tables
+
+NSQ = 90
+ACTION_SPACE = NSQ * NSQ
+_KPAD = 128          # padded square axis (matmul contraction dim)
+_APAD = 8192         # padded action axis
+_BT = 128            # batch tile
+_AT = 1024           # action tile
+
+
+@functools.lru_cache(maxsize=1)
+def _const() -> dict:
+    """Action-axis constant tables, padded to [_KPAD, _APAD] / [*, _APAD]."""
+    t = _tables.tables()
+    FR, TO = t["FR"], t["TO"]
+
+    def one_hot_pad(idx: np.ndarray) -> np.ndarray:
+        m = np.zeros((_KPAD, _APAD), np.float32)
+        m[idx, np.arange(ACTION_SPACE)] = 1.0
+        return m
+
+    def pad_a(v: np.ndarray, dtype) -> np.ndarray:
+        out = np.zeros(v.shape[:-1] + (_APAD,), dtype)
+        out[..., :ACTION_SPACE] = v
+        return out
+
+    block = np.zeros((_KPAD, _APAD), np.float32)
+    block[:NSQ, :ACTION_SPACE] = t["BLOCK"]
+
+    # Square-pair tables reorganized for one-hot matmul lookup (gathers are
+    # slow on TPU; `row @ TABLE` with a one-hot row rides the MXU instead):
+    # BTW_K[y, x*90+z] = BTW[x, y, z] so BTW_k = oh_king @ BTW_K.
+    btw = t["BTW"].astype(np.float32)                   # [x, y, z]
+    btw_k = btw.transpose(1, 0, 2).reshape(NSQ, NSQ * NSQ)
+    # Palace sub-pass statics, per my-side index: pal = PALACE_SQ[si].
+    pal_sq = t["PALACE_SQ"]                             # [2, 9]
+    btw_pal = np.stack([btw[:, pal_sq[si], :] for si in (0, 1)])  # [2,90,9,90]
+    alg_pal = np.stack(
+        [t["ALIGNED_SQ"][:, pal_sq[si]] for si in (0, 1)]
+    ).astype(np.float32)                                 # [2, 90, 9]
+    hp_pal = np.stack(
+        [t["HORSE_PAIR"][:, pal_sq[si]] for si in (0, 1)]
+    ).astype(np.float32)
+    kleg_pal = np.stack(
+        [t["KLEG"][:, pal_sq[si]] for si in (0, 1)]
+    ).astype(np.float32)
+    pa_pal = np.stack(
+        [t["PAWN_ATK"][1 - si][:, pal_sq[si]] for si in (0, 1)]
+    ).astype(np.float32)                                 # attacker = enemy
+
+    # numpy-side dtype conversion + import-time materialization (bottom of
+    # file): creating/converting device constants inside a jit trace would
+    # cache leaked tracers.
+    bf16 = jnp.bfloat16.dtype
+    c = {
+        "FROM1H": jnp.asarray(one_hot_pad(FR).astype(bf16)),
+        "TO1H": jnp.asarray(one_hot_pad(TO).astype(bf16)),
+        "BLOCK": jnp.asarray(block.astype(bf16)),
+        "FR_F": jnp.asarray(pad_a(FR.astype(np.float32), np.float32)[None]),
+        "TO_F": jnp.asarray(pad_a(TO.astype(np.float32), np.float32)[None]),
+        "KING_A": jnp.asarray(pad_a(t["KING_A"], np.float32)),
+        "ADV_A": jnp.asarray(pad_a(t["ADV_A"], np.float32)),
+        "ELE_A": jnp.asarray(pad_a(t["ELE_A"], np.float32)),
+        "PAWN_A": jnp.asarray(pad_a(t["PAWN_A"], np.float32)),
+        "HORSE_A": jnp.asarray(pad_a(t["HORSE_A"], np.float32)[None]),
+        "ALIGNED_A": jnp.asarray(pad_a(t["ALIGNED_A"], np.float32)[None]),
+        # precompute tables (one-hot matmul lookups)
+        "BTW_K": jnp.asarray(btw_k),
+        "ALIGNED_SQ_F": jnp.asarray(t["ALIGNED_SQ"].astype(np.float32)),
+        "HORSE_PAIR_F": jnp.asarray(t["HORSE_PAIR"].astype(np.float32)),
+        "KLEG_F": jnp.asarray(t["KLEG"].T.astype(np.float32)),  # [y=k, x]
+        "PAWN_ATK_F": jnp.asarray(
+            t["PAWN_ATK"].transpose(0, 2, 1).astype(np.float32)
+        ),  # [e, y=k, x]
+        "PALV": jnp.asarray(pal_sq.astype(np.float32)),
+        # palace statics pre-contracted on z at call time: [2, 90(z), 9*90]
+        "BTW_PAL_Z": jnp.asarray(
+            btw_pal.transpose(0, 3, 1, 2).reshape(2, NSQ, NSQ * 9)
+        ),
+        "ALG_PAL": jnp.asarray(alg_pal),
+        "HP_PAL": jnp.asarray(hp_pal),
+        "KLEG_PAL": jnp.asarray(kleg_pal),
+        "PA_PAL": jnp.asarray(pa_pal),
+    }
+    return c
+
+
+# --------------------------------------------------------------------------
+# Per-board precompute (batched XLA; same logic as engine.env.legal_mask's
+# attacker-slot compaction and palace sub-pass, but with every table lookup
+# expressed as a one-hot contraction — TPU gathers at these shapes cost more
+# than the whole wide phase)
+# --------------------------------------------------------------------------
+
+
+def _precompute_batch(board: jax.Array, side: jax.Array) -> dict:
+    """Small per-board arrays feeding the kernel. board int8[B, 90]."""
+    C = _const()
+    b = board.shape[0]
+    f32 = jnp.float32
+    s32 = side.astype(jnp.int32)
+    si = (s32 < 0).astype(jnp.int32)                      # [B] 0 red / 1 black
+    bi = board.astype(jnp.int32)
+    occ_f = (board != 0).astype(f32)                      # [B, 90]
+
+    is_my_king = bi == s32[:, None]
+    has_king = jnp.any(is_my_king, axis=-1)
+    oh_k = is_my_king.astype(f32)                         # king one-hot [B,90]
+    k_f = jnp.argmax(is_my_king, axis=-1).astype(f32)
+
+    def find_slots(kind, n):
+        m = (bi == (-s32 * kind)[:, None]).astype(f32)
+        v, idx = jax.lax.top_k(m, n)
+        return idx.astype(jnp.int32), v > 0.5
+
+    rk_i, rk_v = find_slots(5, 2)
+    cn_i, cn_v = find_slots(6, 2)
+    hs_i, hs_v = find_slots(4, 2)
+    pw_i, pw_v = find_slots(7, 5)
+    is_ek = bi == (-s32)[:, None]
+    ek = jnp.argmax(is_ek, axis=-1).astype(jnp.int32)
+    ek_v = jnp.any(is_ek, axis=-1)
+
+    ray_s = jnp.concatenate([rk_i, cn_i, ek[:, None]], axis=1)   # [B, 5]
+    ray_v = jnp.concatenate([rk_v, cn_v, ek_v[:, None]], axis=1)
+
+    iota_f = jnp.arange(NSQ, dtype=f32)
+    oh_ray = (ray_s[..., None] == jnp.arange(NSQ)).astype(f32)   # [B, 5, 90]
+    oh_hs = (hs_i[..., None] == jnp.arange(NSQ)).astype(f32)
+    oh_pw = (pw_i[..., None] == jnp.arange(NSQ)).astype(f32)
+
+    # per-king-square rows, all via one-hot contractions
+    btw_k = (oh_k @ C["BTW_K"]).reshape(b, NSQ, NSQ)      # BTW[x, k, z]
+    a_k = oh_k @ C["ALIGNED_SQ_F"]                        # ALIGNED_SQ[x, k]
+    hp_k = oh_k @ C["HORSE_PAIR_F"]                       # HORSE_PAIR[x, k]
+    kleg_k = oh_k @ C["KLEG_F"]                           # KLEG[x, k]
+    pak = jnp.where(                                      # PAWN_ATK[1-si, x, k]
+        (si == 0)[:, None],
+        oh_k @ C["PAWN_ATK_F"][1],
+        oh_k @ C["PAWN_ATK_F"][0],
+    )
+
+    btw = jnp.einsum("bsx,bxz->bsz", oh_ray, btw_k)       # [B, 5, 90]
+    cnt0 = jnp.einsum("bsz,bz->bs", btw, occ_f)
+    ray_pre = ray_v & (jnp.einsum("bsx,bx->bs", oh_ray, a_k) > 0.5)
+
+    hs_geom = hs_v & (jnp.einsum("bhx,bx->bh", oh_hs, hp_k) > 0.5)
+    hs_leg = jnp.einsum("bhx,bx->bh", oh_hs, kleg_k)      # f32 square values
+    oh_leg = (hs_leg[..., None] == iota_f).astype(f32)
+    hs_locc = jnp.einsum("bhz,bz->bh", oh_leg, occ_f)
+    pw_pre = pw_v & (jnp.einsum("bpx,bx->bp", oh_pw, pak) > 0.5)
+
+    # ---- palace sub-pass: safety of the 9 king destinations -------------
+    ray_want = jnp.asarray([0.0, 0.0, 1.0, 1.0, 0.0], f32)
+    ray_s_f = ray_s.astype(f32)
+    hs_i_f = hs_i.astype(f32)
+    pw_i_f = pw_i.astype(f32)
+
+    def pal_side(sidx: int) -> jax.Array:
+        palv = C["PALV"][sidx]                                    # [9] f32
+        z_occ = (occ_f @ C["BTW_PAL_Z"][sidx]).reshape(b, NSQ, 9)
+        z_k = (oh_k @ C["BTW_PAL_Z"][sidx]).reshape(b, NSQ, 9)
+        cntpp = jnp.einsum("bsx,bxj->bsj", oh_ray, z_occ - z_k)   # king left k
+        alg = jnp.einsum("bsx,xj->bsj", oh_ray, C["ALG_PAL"][sidx])
+        up = jnp.any(
+            ray_v[:, :, None]
+            & (alg > 0.5)
+            & (palv[None, None, :] != ray_s_f[:, :, None])
+            & (cntpp == ray_want[None, :, None]),
+            axis=1,
+        )
+        pgeom = jnp.einsum("bhx,xj->bhj", oh_hs, C["HP_PAL"][sidx])
+        pleg = jnp.einsum("bhx,xj->bhj", oh_hs, C["KLEG_PAL"][sidx])
+        oh_pleg = (pleg[..., None] == iota_f).astype(f32)
+        ploccp = jnp.where(
+            pleg == palv[None, None, :],
+            1.0,
+            jnp.where(
+                pleg == k_f[:, None, None],
+                0.0,
+                jnp.einsum("bhjz,bz->bhj", oh_pleg, occ_f),
+            ),
+        )
+        up |= jnp.any(
+            hs_v[:, :, None]
+            & (pgeom > 0.5)
+            & (palv[None, None, :] != hs_i_f[:, :, None])
+            & (ploccp == 0.0),
+            axis=1,
+        )
+        ppa = jnp.einsum("bpx,xj->bpj", oh_pw, C["PA_PAL"][sidx])
+        up |= jnp.any(
+            pw_v[:, :, None]
+            & (ppa > 0.5)
+            & (palv[None, None, :] != pw_i_f[:, :, None]),
+            axis=1,
+        )
+        return up                                                  # [B, 9]
+
+    black = (si == 1)[:, None]
+    unsafe_pal = jnp.where(black, pal_side(1), pal_side(0))
+    palv_b = jnp.where(black, C["PALV"][1][None], C["PALV"][0][None])  # [B,9]
+    oh_pal = (palv_b[..., None] == iota_f).astype(f32)
+    unsafe_sq = jnp.einsum("bj,bjz->bz", unsafe_pal.astype(f32), oh_pal)
+
+    padk = lambda v: jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, _KPAD - NSQ)])  # noqa: E731
+    bf16 = jnp.bfloat16
+    return {
+        "board": padk(board.astype(bf16)),
+        "occ": padk(occ_f.astype(bf16)),
+        "btw": padk(btw.astype(bf16)),
+        "cnt0": cnt0,
+        "ray_s": ray_s_f,
+        "ray_pre": ray_pre.astype(f32),
+        "hs_i": hs_i_f,
+        "hs_geom": hs_geom.astype(f32),
+        "hs_leg": hs_leg,
+        "hs_locc": hs_locc,
+        "pw_i": pw_i_f,
+        "pw_pre": pw_pre.astype(f32),
+        "unsafe_sq": padk(unsafe_sq.astype(bf16)),
+        "scal": jnp.stack(
+            [side.astype(f32), si.astype(f32), k_f, has_king.astype(f32)],
+            axis=1,
+        ),
+    }
+
+
+# --------------------------------------------------------------------------
+# Kernel
+# --------------------------------------------------------------------------
+
+_RAY_WANT = (0.0, 0.0, 1.0, 1.0, 0.0)  # 2 rooks, 2 cannons, enemy king
+
+
+def _kernel(
+    board_ref, occ_ref, btw_ref, cnt0_ref, ray_s_ref, ray_pre_ref,
+    hs_i_ref, hs_geom_ref, hs_leg_ref, hs_locc_ref, pw_i_ref, pw_pre_ref,
+    unsafe_sq_ref, scal_ref,
+    from1h_ref, to1h_ref, block_ref, fr_ref, to_ref,
+    king_a_ref, adv_a_ref, ele_a_ref, pawn_a_ref, horse_a_ref, aligned_a_ref,
+    out_ref,
+):
+    f32 = jnp.float32
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=f32)
+
+    from1h = from1h_ref[:]
+    to1h = to1h_ref[:]
+
+    pf = dot(board_ref[:], from1h)           # [Bt, At] piece value at FR
+    pt = dot(board_ref[:], to1h)             # piece value at TO
+    blk = dot(occ_ref[:], block_ref[:])      # geometric blocker count
+
+    side = scal_ref[:, 0:1]                  # [Bt, 1]
+    si = scal_ref[:, 1:2]
+    k = scal_ref[:, 2:3]
+    has_king = scal_ref[:, 3:4] > 0.5
+
+    spf = pf * side
+    spt = pt * side
+    own_t = spt > 0.5
+    enemy_t = spt < -0.5
+    occ_t = jnp.abs(pt) > 0.5
+    b0 = blk < 0.5
+    b1 = (blk > 0.5) & (blk < 1.5)
+
+    def side_row(ref):
+        return ref[0:1, :] * (1.0 - si) + ref[1:2, :] * si  # [Bt, At]
+
+    pseudo = (
+        ((spf == 1.0) & (side_row(king_a_ref) > 0.5))
+        | ((spf == 2.0) & (side_row(adv_a_ref) > 0.5))
+        | ((spf == 3.0) & (side_row(ele_a_ref) > 0.5) & b0)
+        | ((spf == 4.0) & (horse_a_ref[0:1, :] > 0.5) & b0)
+        | ((spf == 5.0) & (aligned_a_ref[0:1, :] > 0.5) & b0)
+        | ((spf == 7.0) & (side_row(pawn_a_ref) > 0.5))
+    ) & ~own_t
+    pseudo |= (
+        (spf == 6.0)
+        & (aligned_a_ref[0:1, :] > 0.5)
+        & ((b0 & ~occ_t) | (b1 & enemy_t))
+    )
+
+    fr_row = fr_ref[:]                       # [1, At]
+    to_row = to_ref[:]
+
+    # ---- king-safety for non-king moves (attacker-slot updates) ---------
+    unsafe = jnp.zeros_like(pf, dtype=bool)
+    zero = jnp.zeros_like(pf)
+    for s in range(5):  # 2 rooks, 2 cannons, enemy king
+        btw_f = dot(btw_ref[s], from1h)      # between-row value at FR
+        btw_t = dot(btw_ref[s], to1h)
+        cntp = cnt0_ref[:, s : s + 1] - btw_f + jnp.where(occ_t, zero, btw_t)
+        unsafe |= (
+            (ray_pre_ref[:, s : s + 1] > 0.5)
+            & (to_row != ray_s_ref[:, s : s + 1])
+            & (cntp == _RAY_WANT[s])
+        )
+    for s in range(2):  # horses: leg occupancy after the move
+        leg = hs_leg_ref[:, s : s + 1]
+        loccp = jnp.where(
+            to_row == leg,
+            1.0,
+            jnp.where(fr_row == leg, 0.0, hs_locc_ref[:, s : s + 1]),
+        )
+        unsafe |= (
+            (hs_geom_ref[:, s : s + 1] > 0.5)
+            & (to_row != hs_i_ref[:, s : s + 1])
+            & (loccp == 0.0)
+        )
+    for s in range(5):  # pawns: contact attacks are move-invariant
+        unsafe |= (pw_pre_ref[:, s : s + 1] > 0.5) & (
+            to_row != pw_i_ref[:, s : s + 1]
+        )
+
+    # ---- king moves: palace destination safety --------------------------
+    king_unsafe = dot(unsafe_sq_ref[:], to1h) > 0.5
+    # logical compose, not select: Mosaic rejects select over i1 vectors
+    is_king_move = fr_row == k
+    bad = (is_king_move & king_unsafe) | (~is_king_move & unsafe)
+
+    # int8 store: Mosaic rejects 1-bit truncating stores on some targets
+    out_ref[:] = (pseudo & ~bad & has_king).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def legal_mask_pallas(
+    board: jax.Array, side: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Batched legal mask bool[B, 8100] for int8 boards [B, 90].
+
+    TPU path of ``engine.env.legal_mask_batch``. ``interpret=True`` runs the
+    kernel in the Pallas interpreter (CPU) for parity tests.
+    """
+    C = _const()
+    b = board.shape[0]
+    bp = -(-b // _BT) * _BT
+
+    pre = _precompute_batch(board, side)
+    if bp != b:
+        pre = jax.tree.map(
+            lambda x: jnp.pad(x, [(0, bp - b)] + [(0, 0)] * (x.ndim - 1)), pre
+        )
+    btw5 = jnp.swapaxes(pre["btw"], 0, 1)  # [5, Bp, 128]
+
+    grid = (bp // _BT, _APAD // _AT)
+    bspec = lambda *blk: pl.BlockSpec(  # noqa: E731
+        blk, lambda i, j: (i, 0), memory_space=pltpu.VMEM
+    )
+    aspec = lambda r: pl.BlockSpec(  # noqa: E731
+        (r, _AT), lambda i, j: (0, j), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            bspec(_BT, _KPAD),                       # board
+            bspec(_BT, _KPAD),                       # occ
+            pl.BlockSpec(
+                (5, _BT, _KPAD),
+                lambda i, j: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),                                        # btw5
+            bspec(_BT, 5),                            # cnt0
+            bspec(_BT, 5),                            # ray_s
+            bspec(_BT, 5),                            # ray_pre
+            bspec(_BT, 2),                            # hs_i
+            bspec(_BT, 2),                            # hs_geom
+            bspec(_BT, 2),                            # hs_leg
+            bspec(_BT, 2),                            # hs_locc
+            bspec(_BT, 5),                            # pw_i
+            bspec(_BT, 5),                            # pw_pre
+            bspec(_BT, _KPAD),                        # unsafe_sq
+            bspec(_BT, 4),                            # scal
+            pl.BlockSpec((_KPAD, _AT), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_KPAD, _AT), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_KPAD, _AT), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            aspec(1),                                 # FR_F
+            aspec(1),                                 # TO_F
+            aspec(2),                                 # KING_A
+            aspec(2),                                 # ADV_A
+            aspec(2),                                 # ELE_A
+            aspec(2),                                 # PAWN_A
+            aspec(1),                                 # HORSE_A
+            aspec(1),                                 # ALIGNED_A
+        ],
+        out_specs=pl.BlockSpec(
+            (_BT, _AT), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, _APAD), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        pre["board"], pre["occ"], btw5, pre["cnt0"], pre["ray_s"],
+        pre["ray_pre"], pre["hs_i"], pre["hs_geom"], pre["hs_leg"],
+        pre["hs_locc"], pre["pw_i"], pre["pw_pre"], pre["unsafe_sq"],
+        pre["scal"],
+        C["FROM1H"], C["TO1H"], C["BLOCK"], C["FR_F"], C["TO_F"],
+        C["KING_A"], C["ADV_A"], C["ELE_A"], C["PAWN_A"], C["HORSE_A"],
+        C["ALIGNED_A"],
+    )
+    return out[:b, :ACTION_SPACE] > 0
+
+
+# Materialize device constants at import time (outside any trace).
+_const()

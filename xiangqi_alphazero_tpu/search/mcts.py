@@ -3,16 +3,32 @@
 TPU-native redesign of the reference's per-game Python object tree
 (reference: training/mcts.py). The whole batch of games searches in lockstep:
 each simulation descends every game's tree (vmapped, masked while_loop),
-evaluates ALL leaves in ONE fused network call, then expands and backs up
-(vmapped). This deletes the reference's socket inference server — batching
-is structural, not opportunistic (reference: training/inference_server.py,
+evaluates ALL leaves in ONE fused network call, then expands and backs up.
+This deletes the reference's socket inference server — batching is
+structural, not opportunistic (reference: training/inference_server.py,
 GPU_INFERENCE_FIX_SUMMARY.md:73 measured a mean batch of 3.5; here the batch
 is the full game count every simulation).
 
-Memory layout: fixed-size per-game arrays [num_nodes, max_children] with
-edge statistics stored on the parent (child visit count N and total value W
-live at the parent's slot). max_children=128 covers the theoretical
-per-position legal-move bound (<=119; enforced by an oracle property test).
+Memory layout, chosen from measured TPU gather/scatter economics (inside a
+batched while_loop, scalar-per-lane and contiguous-row-per-lane dynamic
+indexing is cheap; per-lane *vectors* of indices and per-batch scatters are
+two orders of magnitude slower):
+
+- Edge statistics (visit count N, value sum W) live at the PARENT row,
+  stacked as ``ew[B, N, 2, K]`` — the select loop reads one contiguous row
+  per step. W is the sum of backed-up values from the parent's perspective
+  (reference: mcts.py:21-73).
+- Node allocation is deterministic: simulation i can only ever create node
+  i+1, so expansion writes are uniform dynamic-update-slices on axis 1 —
+  never per-batch scatters. Rows written for games that revisited an
+  existing leaf are garbage but unreachable (no child pointer installed).
+- Backup records the descent path ((parent, slot) per step) and applies it
+  as one dense one-hot contraction ``sum_d oh_n[d] x oh_k[d]`` added into
+  ``ew`` — replacing a scatter-add loop along parent pointers.
+- The descent carries only the env CORE fields (board/side/ply/quiet/hist);
+  the wide ``legal`` mask and terminal verdict are computed once per
+  simulation for the whole batch of leaves (engine.env.evaluate_batch, the
+  fused Pallas kernel on TPU).
 
 Semantics preserved exactly from the reference (training/mcts.py):
 - PUCT select: Q(child) + c_puct * P * sqrt(N_parent) / (1 + N_child),
@@ -53,24 +69,18 @@ class MCTSConfig(NamedTuple):
 
 @struct.dataclass
 class Tree:
-    """Per-game search tree, batched on the leading axis.
-
-    Edge stats (e_n, e_w) are stored at the parent: e_w is the sum of backed-
-    up values from the parent's perspective (reference: mcts.py:21-73).
-    """
+    """Per-game search tree, batched on the leading axis. Node i+1 is the
+    node created by simulation i (or unreachable garbage if that simulation
+    revisited an existing leaf)."""
 
     expanded: jax.Array     # bool[B, N]
     terminal: jax.Array     # bool[B, N]
     term_value: jax.Array   # f32[B, N] (parent-perspective value at terminals)
-    parent: jax.Array       # i32[B, N]
-    parent_slot: jax.Array  # i32[B, N]
     actions: jax.Array      # i32[B, N, K], -1 = empty slot
-    priors: jax.Array       # f32[B, N, K]
     child: jax.Array        # i32[B, N, K], 0 = not yet created
-    e_n: jax.Array          # i32[B, N, K]
-    e_w: jax.Array          # f32[B, N, K]
+    priors: jax.Array       # f32[B, N, K]
+    ew: jax.Array           # f32[B, N, 2, K]: [:, :, 0] = N, [:, :, 1] = W
     root_n: jax.Array       # i32[B]
-    n_nodes: jax.Array      # i32[B]
 
 
 class SearchResult(NamedTuple):
@@ -83,46 +93,107 @@ class SearchResult(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def _mask_normalize(
-    probs: jax.Array, slot_actions: jax.Array, valid: jax.Array
-) -> jax.Array:
+def _mask_normalize(p_slots: jax.Array, valid: jax.Array) -> jax.Array:
     """Priors over child slots: mask to legal, renormalize; uniform fallback
     when the legal probability mass is zero (reference: mcts.py:176-188)."""
-    p = jnp.take_along_axis(probs, jnp.maximum(slot_actions, 0), axis=-1)
-    p = jnp.where(valid, p, 0.0)
+    p = jnp.where(valid, p_slots, 0.0)
     psum = jnp.sum(p, axis=-1, keepdims=True)
     n_valid = jnp.maximum(jnp.sum(valid, axis=-1, keepdims=True), 1)
     uniform = valid.astype(jnp.float32) / n_valid
     return jnp.where(psum > 0, p / jnp.where(psum > 0, psum, 1.0), uniform)
 
 
-def _legal_slots(legal: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
-    """Compact an 8100-wide legal mask into (actions[K], valid[K]) slots,
-    ascending action order."""
-    v, idx = jax.lax.top_k(legal.astype(jnp.float32), k)
-    valid = v > 0.5
-    return jnp.where(valid, idx, -1).astype(jnp.int32), valid
+# Per-piece-instance slot layout: each of the side-to-move's <=16 pieces gets
+# a fixed budget of destination slots bounding its legal-move count (rook and
+# cannon <=17 on an otherwise empty board, horse 8, elephant/advisor/king 4,
+# pawn 3; reference movegen: game.py:297-424). Total 123 <= K=128. This makes
+# mask->slot compaction a chain of dense 90-wide ops and small one-hot
+# matmuls — an 8100-wide top_k sort here cost 56% of all search device time,
+# and the 8100-wide prior gather another 17%.
+_SLOT_KINDS = (5, 5, 6, 6, 4, 4, 3, 3, 2, 2, 1, 7, 7, 7, 7, 7)
+_SLOT_BUDGET = {5: 18, 6: 18, 4: 8, 3: 4, 2: 4, 1: 4, 7: 3}
+_SLOT_J = 18  # max budget
+
+
+def _legal_slots_priors(
+    board: jax.Array, side: jax.Array, legal: jax.Array, probs: jax.Array,
+    k: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Compact legal mask + policy into per-piece slots.
+
+    board int8[B, 90], side int8[B], legal bool[B, 8100], probs f32[B, 8100]
+    -> (actions i32[B, K] (-1 pad), valid bool[B, K], priors f32[B, K]).
+    Slot priors are the exact f32 policy values at the slot's action (picked
+    by one-hot contraction, not gather)."""
+    budgets = [_SLOT_BUDGET[kind] for kind in _SLOT_KINDS]
+    assert k >= sum(budgets)
+    b = board.shape[0]
+    f32 = jnp.float32
+    m = legal.reshape(b, 90, 90).astype(f32)
+    pr3 = probs.reshape(b, 90, 90)
+
+    # piece instance one-hots (iterated argmax per duplicate)
+    own = board.astype(jnp.int32) * side.astype(jnp.int32)[:, None]
+    sq_iota = jnp.arange(90, dtype=jnp.int32)
+    oh_list = []
+    prev_kind = None
+    avail = None
+    for kind in _SLOT_KINDS:
+        if kind != prev_kind:
+            avail = (own == kind).astype(f32)
+            prev_kind = kind
+        idx = jnp.argmax(avail, axis=1)
+        oh = (sq_iota[None] == idx[:, None]).astype(f32) * jnp.max(
+            avail, axis=1, keepdims=True
+        )
+        avail = avail - oh
+        oh_list.append(oh)
+    oh_pieces = jnp.stack(oh_list, axis=1)                  # [B, 16, 90]
+    f_p = jnp.einsum("bpf,f->bp", oh_pieces, sq_iota.astype(f32))
+
+    m_rows = jnp.einsum("bpf,bft->bpt", oh_pieces, m)       # [B, 16, 90]
+    p_rows = jnp.einsum("bpf,bft->bpt", oh_pieces, pr3)
+    r = jnp.cumsum(m_rows, axis=2)                          # dest ranks
+    cnt = r[:, :, -1]
+    j_iota = jnp.arange(_SLOT_J, dtype=f32)
+    ohj = (r[..., None] == (j_iota + 1.0)) & (m_rows[..., None] > 0.5)
+    ohj = ohj.astype(f32)                                   # [B, 16, 90, J]
+    t_iota = jnp.arange(90, dtype=f32)
+    comp_t = jnp.einsum("bptj,t->bpj", ohj, t_iota)         # [B, 16, J]
+    comp_p = jnp.einsum("bptj,bpt->bpj", ohj, p_rows)       # exact f32 pick
+    valid3 = j_iota[None, None] < cnt[..., None]
+    acts3 = (f_p[..., None] * 90.0 + comp_t).astype(jnp.int32)
+
+    # assemble the static layout (pure slicing, no gathers)
+    acts = jnp.concatenate(
+        [acts3[:, i, : budgets[i]] for i in range(len(budgets))], axis=1
+    )
+    valid = jnp.concatenate(
+        [valid3[:, i, : budgets[i]] for i in range(len(budgets))], axis=1
+    )
+    prio = jnp.concatenate(
+        [comp_p[:, i, : budgets[i]] for i in range(len(budgets))], axis=1
+    )
+    pad = k - acts.shape[1]
+    if pad:
+        acts = jnp.pad(acts, ((0, 0), (0, pad)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad)))
+        prio = jnp.pad(prio, ((0, 0), (0, pad)))
+    return jnp.where(valid, acts, -1), valid, prio
 
 
 def init_tree(batch: int, cfg: MCTSConfig) -> Tree:
     n = cfg.num_simulations + 1
     k = cfg.max_children
-    zi = lambda *s: jnp.zeros((batch, *s), jnp.int32)  # noqa: E731
-    zf = lambda *s: jnp.zeros((batch, *s), jnp.float32)  # noqa: E731
-    zb = lambda *s: jnp.zeros((batch, *s), bool)  # noqa: E731
     return Tree(
-        expanded=zb(n),
-        terminal=zb(n),
-        term_value=zf(n),
-        parent=jnp.full((batch, n), -1, jnp.int32),
-        parent_slot=zi(n),
+        expanded=jnp.zeros((batch, n), bool),
+        terminal=jnp.zeros((batch, n), bool),
+        term_value=jnp.zeros((batch, n), jnp.float32),
         actions=jnp.full((batch, n, k), -1, jnp.int32),
-        priors=zf(n, k),
-        child=zi(n, k),
-        e_n=zi(n, k),
-        e_w=zf(n, k),
-        root_n=zi(),
-        n_nodes=jnp.ones((batch,), jnp.int32),
+        child=jnp.zeros((batch, n, k), jnp.int32),
+        priors=jnp.zeros((batch, n, k), jnp.float32),
+        ew=jnp.zeros((batch, n, 2, k), jnp.float32),
+        root_n=jnp.zeros((batch,), jnp.int32),
     )
 
 
@@ -131,39 +202,72 @@ def init_tree(batch: int, cfg: MCTSConfig) -> Tree:
 _MODE_CREATE, _MODE_REVISIT, _MODE_NOOP = 0, 1, 2
 
 
-def _descend_one(tree: Tree, root_state: E.EnvState, c_puct: float, max_depth: int):
-    """Select down one game's tree to a leaf. Returns
-    (mode, sel_parent, sel_slot, leaf_node, env_leaf)."""
+class _Core(NamedTuple):
+    """Env core fields carried through descent — everything except the wide
+    ``legal`` mask and the terminal verdict, which are evaluated once at the
+    leaf for the whole batch."""
+
+    board: jax.Array
+    side: jax.Array
+    ply: jax.Array
+    quiet: jax.Array
+    hist: jax.Array
+
+
+def _core_step(c: _Core, action: jax.Array) -> _Core:
+    """engine.env.step_core on the reduced carry."""
+    T = E._T()
+    a = action.astype(jnp.int32)
+    f, t = T["FR"][a], T["TO"][a]
+    piece = c.board[f]
+    captured = c.board[t]
+    hist = c.hist.at[c.ply % E.HIST_LEN].set(c.board)
+    board = c.board.at[t].set(piece).at[f].set(jnp.int8(0))
+    quiet = jnp.where(captured != 0, 0, c.quiet + 1).astype(jnp.int32)
+    return _Core(
+        board=board,
+        side=(-c.side).astype(jnp.int8),
+        ply=c.ply + 1,
+        quiet=quiet,
+        hist=hist,
+    )
+
+
+def _descend_one(tree: Tree, root: _Core, c_puct: float, max_depth: int):
+    """Select down one game's tree to a leaf (vmapped over the batch).
+    Returns (mode, sel_parent, sel_slot, leaf_node, core_leaf, path_node,
+    path_slot, depth): path_node[d]/path_slot[d] is the edge taken at depth
+    d (valid for d < depth)."""
 
     class Carry(NamedTuple):
         cur: jax.Array
         node_n: jax.Array
-        env: E.EnvState
+        core: _Core
         stop: jax.Array
         mode: jax.Array
-        sel_parent: jax.Array
-        sel_slot: jax.Array
         leaf: jax.Array
         depth: jax.Array
+        path_node: jax.Array
+        path_slot: jax.Array
 
     def cond(c: Carry):
         return ~c.stop
 
     def body(c: Carry) -> Carry:
-        e_n = tree.e_n[c.cur]
-        e_w = tree.e_w[c.cur]
+        ew = tree.ew[c.cur]          # [2, K] contiguous row
         pr = tree.priors[c.cur]
         acts = tree.actions[c.cur]
+        e_n, e_w = ew[0], ew[1]
         valid = acts >= 0
-        q = jnp.where(e_n > 0, e_w / jnp.maximum(e_n, 1), 0.0)
-        u = c_puct * pr * jnp.sqrt(c.node_n.astype(jnp.float32)) / (1.0 + e_n)
+        q = jnp.where(e_n > 0, e_w / jnp.maximum(e_n, 1.0), 0.0)
+        u = c_puct * pr * jnp.sqrt(c.node_n) / (1.0 + e_n)
         ucb = jnp.where(valid, q + u, -jnp.inf)
         slot = jnp.argmax(ucb).astype(jnp.int32)
         a = acts[slot]
         # cheap core step: interior nodes' terminality lives in the tree;
         # the leaf's legal mask / terminal verdict is computed once after
-        # descent (run_mcts calls evaluate_state on the batch of leaves)
-        env2 = E.step_core(c.env, a)
+        # descent (run_mcts calls evaluate_batch on the batch of leaves)
+        core2 = _core_step(c.core, a)
         ch = tree.child[c.cur, slot]
         is_new = ch == 0
         ch_unexpanded = ~is_new & ~tree.expanded[ch]
@@ -178,104 +282,35 @@ def _descend_one(tree: Tree, root_state: E.EnvState, c_puct: float, max_depth: i
         return Carry(
             cur=jnp.where(is_new, c.cur, ch),
             node_n=e_n[slot],
-            env=env2,
+            core=core2,
             stop=stop,
             mode=mode,
-            sel_parent=c.cur,
-            sel_slot=slot,
             leaf=jnp.where(is_new, c.leaf, ch),
             depth=c.depth + 1,
+            path_node=c.path_node.at[c.depth].set(c.cur),
+            path_slot=c.path_slot.at[c.depth].set(slot),
         )
 
     root_has_children = tree.expanded[0]
     init = Carry(
         cur=jnp.int32(0),
-        node_n=tree.root_n,
-        env=root_state,
+        node_n=tree.root_n.astype(jnp.float32),
+        core=root,
         stop=~root_has_children,
         mode=jnp.where(root_has_children, _MODE_CREATE, _MODE_NOOP).astype(
             jnp.int32
         ),
-        sel_parent=jnp.int32(0),
-        sel_slot=jnp.int32(0),
         leaf=jnp.int32(0),
         depth=jnp.int32(0),
+        path_node=jnp.zeros((max_depth,), jnp.int32),
+        path_slot=jnp.zeros((max_depth,), jnp.int32),
     )
     out = jax.lax.while_loop(cond, body, init)
-    return out.mode, out.sel_parent, out.sel_slot, out.leaf, out.env
-
-
-# --------------------------------------------------- expand and backup ----
-
-
-def _expand_backup_one(
-    tree_slices,
-    mode,
-    sel_parent,
-    sel_slot,
-    leaf,
-    env_leaf: E.EnvState,
-    probs,
-    value,
-    k: int,
-):
-    """Per-game tree update after the fused NN call. Operates on this game's
-    slice of the tree arrays (vmapped)."""
-    (
-        expanded, terminal, term_value, parent, parent_slot,
-        actions, priors, child, e_n, e_w, root_n, n_nodes,
-    ) = tree_slices
-
-    is_create = mode == _MODE_CREATE
-    is_revisit = mode == _MODE_REVISIT
-    new_idx = n_nodes  # next free node id (only consumed when is_create)
-
-    # --- node creation -----------------------------------------------
-    t_val = jnp.where(env_leaf.winner != 0, 1.0, 0.0)  # mcts.py:138-140
-    slot_a, valid = _legal_slots(env_leaf.legal, k)
-    p_slot = _mask_normalize(probs, slot_a, valid)
-    node_expanded = ~env_leaf.done  # non-terminal => legal moves exist
-
-    def wset(arr, idx, val):
-        return arr.at[idx].set(jnp.where(is_create, val, arr[idx]))
-
-    expanded = wset(expanded, new_idx, node_expanded)
-    terminal = wset(terminal, new_idx, env_leaf.done)
-    term_value = wset(term_value, new_idx, t_val)
-    parent = wset(parent, new_idx, sel_parent)
-    parent_slot = wset(parent_slot, new_idx, sel_slot)
-    actions = wset(actions, new_idx, slot_a)
-    priors = wset(priors, new_idx, p_slot)
-    child = child.at[sel_parent, sel_slot].set(
-        jnp.where(is_create, new_idx, child[sel_parent, sel_slot])
-    )
-    n_nodes = n_nodes + is_create.astype(jnp.int32)
-
-    # --- value to back up (parent perspective) -------------------------
-    v_create = jnp.where(env_leaf.done, t_val, -value)  # mcts.py:138-150
-    v = jnp.where(is_create, v_create, term_value[leaf])
-
-    # --- backup along parent pointers ----------------------------------
-    start = jnp.where(is_create, new_idx, leaf)
-    start = jnp.where(mode == _MODE_NOOP, 0, start)
-
-    def bcond(c):
-        cur, _, _, _ = c
-        return cur != 0
-
-    def bbody(c):
-        cur, val, en, ew = c
-        p, s = parent[cur], parent_slot[cur]
-        en = en.at[p, s].add(1)
-        ew = ew.at[p, s].add(val)
-        return p, -val, en, ew
-
-    _, _, e_n, e_w = jax.lax.while_loop(bcond, bbody, (start, v, e_n, e_w))
-    root_n = root_n + (mode != _MODE_NOOP).astype(jnp.int32)
-
+    # sel_parent/sel_slot = last recorded edge
+    last = jnp.maximum(out.depth - 1, 0)
     return (
-        expanded, terminal, term_value, parent, parent_slot,
-        actions, priors, child, e_n, e_w, root_n, n_nodes,
+        out.mode, out.path_node[last], out.path_slot[last], out.leaf,
+        out.core, out.path_node, out.path_slot, out.depth,
     )
 
 
@@ -297,14 +332,17 @@ def run_mcts(
     """
     batch = roots.board.shape[0]
     k = cfg.max_children
+    num_nodes = cfg.num_simulations + 1
 
     tree = init_tree(batch, cfg)
 
     # Root priors (+ optional Dirichlet noise), reference mcts.py:107-123.
     feats = E.v_features(roots.board, roots.side)
     probs, _ = eval_fn(feats)
-    slot_a, valid = jax.vmap(_legal_slots, in_axes=(0, None))(roots.legal, k)
-    p_slot = _mask_normalize(probs, slot_a, valid)
+    slot_a, valid, p_raw = _legal_slots_priors(
+        roots.board, roots.side, roots.legal, probs, k
+    )
+    p_slot = _mask_normalize(p_raw, valid)
 
     if add_noise:
         noise_g = jax.random.gamma(
@@ -327,44 +365,95 @@ def run_mcts(
 
     max_depth = cfg.num_simulations + 2
     descend = jax.vmap(_descend_one, in_axes=(0, 0, None, None))
+    bidx = jnp.arange(batch)
+    node_iota = jnp.arange(num_nodes, dtype=jnp.int32)
+    slot_iota = jnp.arange(k, dtype=jnp.int32)
+    d_iota = jnp.arange(max_depth, dtype=jnp.int32)
+    root_core = _Core(
+        board=roots.board, side=roots.side, ply=roots.ply,
+        quiet=roots.quiet, hist=roots.hist,
+    )
+    dummy_legal = jnp.zeros((batch, ACTION_SPACE), bool)
+    dummy_done = jnp.zeros((batch,), bool)
+    dummy_win = jnp.zeros((batch,), jnp.int8)
 
     def sim_body(i, tree):
-        del i
-        mode, sel_parent, sel_slot, leaf, env_leaf = descend(
-            tree, roots, cfg.c_puct, max_depth
+        mode, sel_parent, sel_slot, leaf, core, pnode, pslot, depth = descend(
+            tree, root_core, cfg.c_puct, max_depth
         )
-        env_leaf = jax.vmap(E.evaluate_state)(env_leaf)
+        env_leaf = E.EnvState(
+            board=core.board, side=core.side, ply=core.ply, quiet=core.quiet,
+            hist=core.hist, done=dummy_done, winner=dummy_win,
+            legal=dummy_legal,
+        )
+        env_leaf = E.evaluate_batch(env_leaf)
         leaf_feats = E.v_features(env_leaf.board, env_leaf.side)
         probs, value = eval_fn(leaf_feats)
 
-        slices = (
-            tree.expanded, tree.terminal, tree.term_value, tree.parent,
-            tree.parent_slot, tree.actions, tree.priors, tree.child,
-            tree.e_n, tree.e_w, tree.root_n, tree.n_nodes,
+        is_create = mode == _MODE_CREATE
+        new_idx = i + 1  # deterministic node allocation (see module doc)
+
+        # --- node row writes: uniform index, a dynamic-update-slice each
+        # (garbage for non-create games, but unreachable: no child pointer)
+        t_val = jnp.where(env_leaf.winner != 0, 1.0, 0.0)  # mcts.py:138-140
+        sa, va, p_raw = _legal_slots_priors(
+            env_leaf.board, env_leaf.side, env_leaf.legal, probs, k
         )
-        out = jax.vmap(
-            _expand_backup_one,
-            in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None),
-        )(
-            tuple(jax.tree.map(lambda x: x, slices)),
-            mode, sel_parent, sel_slot, leaf, env_leaf, probs, value, k,
+        ps = _mask_normalize(p_raw, va)
+
+        def row_set(arr, vals):
+            return jax.lax.dynamic_update_slice_in_dim(
+                arr, vals[:, None].astype(arr.dtype), new_idx, axis=1
+            )
+
+        tree = tree.replace(
+            expanded=row_set(tree.expanded, ~env_leaf.done),
+            terminal=row_set(tree.terminal, env_leaf.done),
+            term_value=row_set(tree.term_value, t_val),
+            actions=row_set(tree.actions, sa),
+            priors=row_set(tree.priors, ps),
         )
-        return Tree(
-            expanded=out[0], terminal=out[1], term_value=out[2], parent=out[3],
-            parent_slot=out[4], actions=out[5], priors=out[6], child=out[7],
-            e_n=out[8], e_w=out[9], root_n=out[10], n_nodes=out[11],
+        # child pointer: the only true per-batch scatter, B scalars
+        old = tree.child[bidx, sel_parent, sel_slot]
+        child = tree.child.at[bidx, sel_parent, sel_slot].set(
+            jnp.where(is_create, new_idx, old)
+        )
+
+        # --- value to back up (parent perspective at the leaf) ------------
+        v_create = jnp.where(env_leaf.done, t_val, -value)  # mcts.py:138-150
+        term_leaf = tree.term_value[bidx, leaf]
+        v = jnp.where(is_create, v_create, term_leaf)
+
+        # --- backup: dense one-hot contraction over the recorded path ----
+        # edge at depth d leads to the node at depth d+1; the deepest
+        # updated edge is d = depth-1 and carries v, signs alternate upward
+        validp = d_iota[None, :] < depth[:, None]              # [B, D]
+        ohn = (
+            (pnode[:, :, None] == node_iota) & validp[:, :, None]
+        ).astype(jnp.float32)                                  # [B, D, N]
+        ohk = (pslot[:, :, None] == slot_iota).astype(jnp.float32)  # [B,D,K]
+        odd = ((depth[:, None] - 1 - d_iota) % 2) != 0
+        weight = jnp.where(validp, jnp.where(odd, -v[:, None], v[:, None]), 0.0)
+        dn = jnp.einsum("bdn,bdk->bnk", ohn, ohk)
+        dw = jnp.einsum("bdn,bdk->bnk", ohn * weight[:, :, None], ohk)
+        ew = tree.ew + jnp.stack([dn, dw], axis=2)
+
+        return tree.replace(
+            child=child,
+            ew=ew,
+            root_n=tree.root_n + (mode != _MODE_NOOP).astype(jnp.int32),
         )
 
     tree = jax.lax.fori_loop(0, cfg.num_simulations, sim_body, tree)
 
-    visits = tree.e_n[:, 0, :]
-    w = tree.e_w[:, 0, :]
-    total = jnp.maximum(jnp.sum(visits, axis=-1), 1)
-    root_value = jnp.sum(w, axis=-1) / total
+    visits_f = tree.ew[:, 0, 0, :]
+    w_root = tree.ew[:, 0, 1, :]
+    total = jnp.maximum(jnp.sum(visits_f, axis=-1), 1.0)
+    root_value = jnp.sum(w_root, axis=-1) / total
     root_valid = tree.actions[:, 0, :] >= 0
     return SearchResult(
         actions=tree.actions[:, 0, :],
-        visits=visits,
+        visits=visits_f.astype(jnp.int32),
         valid=root_valid,
         root_value=root_value,
     )
