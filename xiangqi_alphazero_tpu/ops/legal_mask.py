@@ -150,10 +150,19 @@ def _precompute_batch(board: jax.Array, side: jax.Array) -> dict:
     oh_k = is_my_king.astype(f32)                         # king one-hot [B,90]
     k_f = jnp.argmax(is_my_king, axis=-1).astype(f32)
 
+    sq_iota = jnp.arange(NSQ, dtype=jnp.int32)
+
     def find_slots(kind, n):
+        # iterated argmax: ~6x cheaper than top_k's custom call at [B, 90]
         m = (bi == (-s32 * kind)[:, None]).astype(f32)
-        v, idx = jax.lax.top_k(m, n)
-        return idx.astype(jnp.int32), v > 0.5
+        idxs, vals = [], []
+        for _ in range(n):
+            i = jnp.argmax(m, axis=1)
+            v = jnp.max(m, axis=1)
+            m = m - (sq_iota[None] == i[:, None]) * v[:, None]
+            idxs.append(i.astype(jnp.int32))
+            vals.append(v > 0.5)
+        return jnp.stack(idxs, 1), jnp.stack(vals, 1)
 
     rk_i, rk_v = find_slots(5, 2)
     cn_i, cn_v = find_slots(6, 2)
