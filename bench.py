@@ -34,14 +34,14 @@ def main() -> None:
 
     def eval_fn(feats):
         logits, value = net.apply(variables, feats, train=False)
-        return jax.nn.softmax(logits, axis=-1), value.squeeze(-1)
+        return logits, value.squeeze(-1)
 
     cfg = MCTSConfig(num_simulations=sims)
 
     @jax.jit
     def search_and_step(states, rng):
         k1, k2 = jax.random.split(rng)
-        res = run_mcts(eval_fn, states, k1, cfg, add_noise=True)
+        res = run_mcts(eval_fn, states, k1, cfg, add_noise=True, logits_eval=True)
         from xiangqi_alphazero_tpu.search import sample_actions
 
         act = sample_actions(res, jnp.ones(batch), k2)

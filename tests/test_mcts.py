@@ -200,3 +200,37 @@ def test_temperature_pi_semantics():
         jax.jit(sample_actions)(res, jnp.zeros(2), jax.random.key(3))
     )
     assert pi_greedy[0, a[0]] == 1.0
+
+
+def test_logits_eval_matches_probs_eval():
+    """run_mcts(logits_eval=True) computes softmax values only at the legal
+    slots; the search must match the probs-mode search on a real network."""
+    from xiangqi_alphazero_tpu.models import (
+        init_net,
+        policy_logits_fn,
+        policy_value_fn,
+    )
+
+    net, variables = init_net(jax.random.key(3), channels=16, blocks=2)
+    cfg = MCTSConfig(num_simulations=30)
+    roots = jax.jit(E.reset_batch, static_argnums=0)(4)
+    rng = jax.random.key(11)
+
+    f_probs = jax.jit(
+        lambda s, k: run_mcts(
+            policy_value_fn(net, variables), s, k, cfg, add_noise=True
+        )
+    )
+    f_logits = jax.jit(
+        lambda s, k: run_mcts(
+            policy_logits_fn(net, variables), s, k, cfg, add_noise=True,
+            logits_eval=True,
+        )
+    )
+    a = f_probs(roots, rng)
+    b = f_logits(roots, rng)
+    np.testing.assert_array_equal(np.asarray(a.actions), np.asarray(b.actions))
+    np.testing.assert_array_equal(np.asarray(a.visits), np.asarray(b.visits))
+    np.testing.assert_allclose(
+        np.asarray(a.root_value), np.asarray(b.root_value), atol=1e-6
+    )

@@ -118,3 +118,16 @@ def policy_value_fn(net: XiangqiNet, variables):
         return jax.nn.softmax(logits, axis=-1), value.squeeze(-1)
 
     return f
+
+
+def policy_logits_fn(net: XiangqiNet, variables):
+    """(features[B,10,9,15]) -> (raw logits[B,8100], value[B]) — for
+    ``run_mcts(..., logits_eval=True)``, which computes the exact softmax
+    values only at the legal slots instead of materializing the full
+    probability tensor."""
+
+    def f(feats):
+        logits, value = net.apply(variables, feats, train=False)
+        return logits, value.squeeze(-1)
+
+    return f

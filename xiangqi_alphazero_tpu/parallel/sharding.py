@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..train import learner as L
 from ..train.evaluate import EvalSettings, evaluate_pair
 from ..train.selfplay import SelfPlaySettings, selfplay_games
-from ..models import policy_value_fn as _net_eval_fn
+from ..models import policy_logits_fn, policy_value_fn as _net_eval_fn
 
 
 def make_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
@@ -72,7 +72,10 @@ def make_sharded_selfplay(net, batch: int, settings: SelfPlaySettings, mesh: Mes
     repl = replicated(mesh)
 
     def run(variables, rng):
-        return selfplay_games(_net_eval_fn(net, variables), batch, rng, settings)
+        return selfplay_games(
+            policy_logits_fn(net, variables), batch, rng, settings,
+            logits_eval=True, batch_sharding=batch_sharded(mesh),
+        )
 
     return jax.jit(run, in_shardings=(repl, repl))
 
@@ -82,11 +85,13 @@ def make_sharded_eval(net, batch: int, settings: EvalSettings, mesh: Mesh):
 
     def run(vars_new, vars_old, rng):
         return evaluate_pair(
-            _net_eval_fn(net, vars_new),
-            _net_eval_fn(net, vars_old),
+            policy_logits_fn(net, vars_new),
+            policy_logits_fn(net, vars_old),
             batch,
             rng,
             settings,
+            logits_eval=True,
+            batch_sharding=batch_sharded(mesh),
         )
 
     return jax.jit(run, in_shardings=(repl, repl, repl))

@@ -42,6 +42,8 @@ def evaluate_pair(
     batch: int,
     rng: jax.Array,
     s: EvalSettings,
+    logits_eval: bool = False,
+    batch_sharding=None,
 ) -> EvalOut:
     mcfg = M.MCTSConfig(
         num_simulations=s.num_simulations,
@@ -49,6 +51,8 @@ def evaluate_pair(
         max_children=s.max_children,
     )
     states = E.reset_batch(batch)
+    if batch_sharding is not None:
+        states = jax.lax.with_sharding_constraint(states, batch_sharding)
     new_is_red = (jnp.arange(batch) % 2) == 0
 
     class Carry(NamedTuple):
@@ -67,8 +71,14 @@ def evaluate_pair(
 
     def body(c: Carry) -> Carry:
         rng, k1, k2 = jax.random.split(c.rng, 3)
-        res_new = M.run_mcts(eval_new, c.states, k1, mcfg, add_noise=False)
-        res_old = M.run_mcts(eval_old, c.states, k2, mcfg, add_noise=False)
+        res_new = M.run_mcts(
+            eval_new, c.states, k1, mcfg, add_noise=False,
+            logits_eval=logits_eval,
+        )
+        res_old = M.run_mcts(
+            eval_old, c.states, k2, mcfg, add_noise=False,
+            logits_eval=logits_eval,
+        )
         new_to_move = (c.states.side == 1) == new_is_red
         act = jnp.where(new_to_move, greedy(res_new), greedy(res_old))
         return Carry(states=E.v_step(c.states, act), t=c.t + 1, rng=rng)

@@ -75,8 +75,14 @@ def selfplay_games(
     batch: int,
     rng: jax.Array,
     s: SelfPlaySettings,
+    logits_eval: bool = False,
+    batch_sharding=None,
 ) -> SelfPlayOut:
-    """Play ``batch`` games to completion. Jit with batch and s static."""
+    """Play ``batch`` games to completion. Jit with batch and s static.
+    ``logits_eval=True``: eval_fn returns raw logits (see run_mcts).
+    ``batch_sharding``: optional NamedSharding pinning the game batch onto a
+    mesh axis (GSPMD does not otherwise know to shard the internally created
+    fleet)."""
     T, K = s.max_game_length, s.max_children
     mcfg = M.MCTSConfig(
         num_simulations=s.num_simulations,
@@ -84,6 +90,8 @@ def selfplay_games(
         max_children=K,
     )
     fresh = E.reset_batch(batch)
+    if batch_sharding is not None:
+        fresh = jax.lax.with_sharding_constraint(fresh, batch_sharding)
     states = fresh
 
     # ---- random openings (reference: parallel_selfplay.py:60-69) -------
@@ -148,7 +156,10 @@ def selfplay_games(
         alive = alive & ~adj
 
         rng, k_search, k_act = jax.random.split(c.rng, 3)
-        res = M.run_mcts(eval_fn, c.states, k_search, mcfg, add_noise=True)
+        res = M.run_mcts(
+            eval_fn, c.states, k_search, mcfg, add_noise=True,
+            logits_eval=logits_eval,
+        )
         temp = jnp.where(
             c.states.ply < s.temperature_threshold, 1.0, 0.3
         ).astype(jnp.float32)

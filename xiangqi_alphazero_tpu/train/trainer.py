@@ -28,7 +28,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models import XiangqiNet, count_parameters, init_net, policy_value_fn
+from ..models import (
+    XiangqiNet,
+    count_parameters,
+    init_net,
+    policy_logits_fn,
+    policy_value_fn,
+)
 from . import checkpoint as ckpt
 from .config import TrainingConfig
 from .evaluate import EvalOut, EvalSettings, evaluate_pair
@@ -44,17 +50,21 @@ _net_eval_fn = policy_value_fn  # kept name: sharding/tests import it
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _run_selfplay(net, batch: int, settings: SelfPlaySettings, variables, rng):
-    return selfplay_games(_net_eval_fn(net, variables), batch, rng, settings)
+    return selfplay_games(
+        policy_logits_fn(net, variables), batch, rng, settings,
+        logits_eval=True,
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _run_eval(net, batch: int, settings: EvalSettings, vars_new, vars_old, rng):
     return evaluate_pair(
-        _net_eval_fn(net, vars_new),
-        _net_eval_fn(net, vars_old),
+        policy_logits_fn(net, vars_new),
+        policy_logits_fn(net, vars_old),
         batch,
         rng,
         settings,
+        logits_eval=True,
     )
 
 
