@@ -286,9 +286,35 @@ class AlphaZeroTrainer:
         }
 
     # -------------------------------------------------------- lifecycle
+    @staticmethod
+    def _pack_np_rng(gen: np.random.Generator) -> np.ndarray:
+        """PCG64 state (two 128-bit ints) as 4x uint64 for orbax."""
+        st = gen.bit_generator.state["state"]
+        mask = (1 << 64) - 1
+        return np.array(
+            [st["state"] & mask, st["state"] >> 64,
+             st["inc"] & mask, st["inc"] >> 64],
+            dtype=np.uint64,
+        )
+
+    @staticmethod
+    def _unpack_np_rng(arr: np.ndarray) -> np.random.Generator:
+        a = np.asarray(arr, dtype=np.uint64)
+        gen = np.random.default_rng(0)
+        gen.bit_generator.state = {
+            **gen.bit_generator.state,
+            "state": {
+                "state": int(a[0]) | (int(a[1]) << 64),
+                "inc": int(a[2]) | (int(a[3]) << 64),
+            },
+        }
+        return gen
+
     def save(self, is_best: bool = False) -> str:
         payload = {
             "iteration": self.iteration,
+            "rng_key": jax.random.key_data(self.rng),
+            "np_rng": self._pack_np_rng(self.np_rng),
             "params": self.params,
             "batch_stats": self.batch_stats,
             "best_params": self.best_params,
@@ -318,6 +344,8 @@ class AlphaZeroTrainer:
     def restore(self, path: str) -> None:
         target = {
             "iteration": 0,
+            "rng_key": jax.random.key_data(self.rng),
+            "np_rng": self._pack_np_rng(self.np_rng),
             "params": self.params,
             "batch_stats": self.batch_stats,
             "best_params": self.best_params,
@@ -329,7 +357,13 @@ class AlphaZeroTrainer:
                 "num_res_blocks": self.cfg.num_res_blocks,
             },
         }
-        restored = ckpt.load_checkpoint(path, target)
+        try:
+            restored = ckpt.load_checkpoint(path, target)
+        except (ValueError, KeyError):
+            # older checkpoints predate the RNG-state fields
+            target.pop("rng_key", None)
+            target.pop("np_rng", None)
+            restored = ckpt.load_checkpoint(path, target)
         self.params = jax.tree.map(jnp.asarray, restored["params"])
         self.batch_stats = jax.tree.map(jnp.asarray, restored["batch_stats"])
         self.best_params = jax.tree.map(jnp.asarray, restored["best_params"])
@@ -337,6 +371,11 @@ class AlphaZeroTrainer:
         self.opt_state = jax.tree.map(jnp.asarray, restored["opt_state"])
         self.iteration = int(restored["iteration"])
         self.total_games = int(restored["total_games"])
+        if "rng_key" in restored:  # full-fidelity resume incl. RNG streams
+            self.rng = jax.random.wrap_key_data(
+                jnp.asarray(restored["rng_key"])
+            )
+            self.np_rng = self._unpack_np_rng(np.asarray(restored["np_rng"]))
         logger.info("restored %s at iteration %d", path, self.iteration)
 
     def run_iteration(self) -> Dict:
