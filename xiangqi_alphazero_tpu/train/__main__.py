@@ -1,4 +1,4 @@
-"""CLI entry: python -m xiangqi_alphazero_tpu.train --mode quick|standard|full
+"""CLI entry: python -m xiangqi_alphazero_tpu.train --mode quick|standard|full|tpu
 
 Mirrors the reference CLI (training/train.py:707-764)."""
 

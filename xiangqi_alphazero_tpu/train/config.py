@@ -125,10 +125,33 @@ def full_config() -> TrainingConfig:
     )
 
 
+def tpu_config() -> TrainingConfig:
+    """TPU-scale production preset (no reference analogue): the standard
+    network, but with the self-play fleet sized for the chip rather than for
+    a CPU process pool — ~1000x the reference's game throughput per
+    iteration at the same per-move search budget."""
+    return TrainingConfig(
+        num_channels=128,
+        num_res_blocks=6,
+        num_simulations=200,
+        num_games_per_iter=512,
+        num_iterations=50,
+        batch_size=1024,
+        max_game_length=300,
+        random_opening_moves=6,
+        enable_resign=True,
+        max_buffer_size=500_000,
+        min_buffer_size=10_000,
+        eval_games=64,
+        eval_simulations=100,
+    )
+
+
 PRESETS = {
     "quick": quick_config,
     "standard": standard_config,
     "full": full_config,
+    "tpu": tpu_config,
 }
 
 
