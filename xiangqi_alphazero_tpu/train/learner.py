@@ -98,3 +98,69 @@ def train_step_impl(
 train_step = functools.partial(
     jax.jit, static_argnums=(0, 1), donate_argnums=(2, 4)
 )(train_step_impl)
+
+
+def train_epochs_impl(
+    net,
+    tx: optax.GradientTransformation,
+    batch_sharding,
+    params,
+    batch_stats,
+    opt_state,
+    boards: jax.Array,      # full buffer storage, fixed capacity shapes
+    sides: jax.Array,
+    pi_actions: jax.Array,
+    pi_probs: jax.Array,
+    values: jax.Array,
+    perm: jax.Array,        # int32[S, b] row indices per step
+    wmask: jax.Array,       # f32[S, b] sample weights (0 = padding)
+):
+    """All of an iteration's train steps as ONE on-device lax.scan.
+
+    The reference's per-batch host loop (train.py:384-432) costs a device
+    round-trip per step (measured ~56 ms/step at batch 64 — dispatch-bound,
+    the math is microseconds); here the replay storage is uploaded once and
+    every epoch's shuffled batches are gathered and stepped on device.
+    Returns (params, batch_stats, opt_state, losses f32[S, 2]) with
+    per-step (policy, value) losses (padded steps report garbage — slice to
+    the plan's real_steps on the host)."""
+
+    def step(carry, xs):
+        idx, w = xs
+
+        def run(carry):
+            p, stats, opt = carry
+            batch = (boards[idx], sides[idx], pi_actions[idx],
+                     pi_probs[idx], values[idx])
+            if batch_sharding is not None:
+                batch = tuple(
+                    jax.lax.with_sharding_constraint(x, batch_sharding)
+                    for x in batch
+                )
+                ws = jax.lax.with_sharding_constraint(w, batch_sharding)
+            else:
+                ws = w
+            p2, s2, o2, m = train_step_impl(
+                net, tx, p, stats, opt, *batch, ws
+            )
+            return (p2, s2, o2), jnp.stack([m.policy_loss, m.value_loss])
+
+        def skip(carry):
+            return carry, jnp.zeros(2, jnp.float32)
+
+        # padding steps (all-zero weights) cost one branch test, nothing
+        # more — the scan length can be a fixed capacity-derived constant
+        return jax.lax.cond(jnp.any(w > 0), run, skip, carry)
+
+    (params, batch_stats, opt_state), losses = jax.lax.scan(
+        step, (params, batch_stats, opt_state), (perm, wmask)
+    )
+    return params, batch_stats, opt_state, losses
+
+
+def make_train_epochs(net, tx, batch_sharding=None):
+    """Jitted epoch runner (params/opt_state donated)."""
+    return jax.jit(
+        functools.partial(train_epochs_impl, net, tx, batch_sharding),
+        donate_argnums=(0, 2),
+    )

@@ -70,6 +70,37 @@ class ReplayBuffer:
             n *= 2
         return n
 
+    def arrays(self) -> Tuple[np.ndarray, ...]:
+        """The FULL fixed-capacity storage arrays (static shapes for jit —
+        only rows < len(self) are valid; index through an epoch_plan)."""
+        return (self.boards, self.sides, self.pi_actions, self.pi_probs,
+                self.values)
+
+    def epoch_plan(
+        self, batch_size: int, epochs: int, rng: np.random.Generator,
+    ) -> Tuple[np.ndarray, np.ndarray, int]:
+        """Index plan for the on-device scan over all epochs' batches:
+        (perm i32[S, b], wmask f32[S, b], real_steps). Shuffle semantics
+        match epoch_batches (fresh permutation per epoch, final partial
+        batch zero-weight padded). S is the CAPACITY-derived constant
+        ceil(capacity/b)*epochs so the jitted scan compiles exactly once as
+        the buffer grows; all-zero-weight padding steps are skipped by a
+        branch inside the scan."""
+        per_epoch = -(-self.size // batch_size)
+        steps = per_epoch * epochs
+        s_pad = max(-(-self.capacity // batch_size) * epochs, 1)
+        perm = np.zeros((s_pad, batch_size), np.int32)
+        wmask = np.zeros((s_pad, batch_size), np.float32)
+        i = 0
+        for _ in range(epochs):
+            order = rng.permutation(self.size)
+            for start in range(0, self.size, batch_size):
+                idx = order[start : start + batch_size]
+                perm[i, : idx.shape[0]] = idx
+                wmask[i, : idx.shape[0]] = 1.0
+                i += 1
+        return perm, wmask, steps
+
     def epoch_batches(
         self, batch_size: int, rng: np.random.Generator
     ) -> Iterator[Tuple[np.ndarray, ...]]:

@@ -38,7 +38,11 @@ from ..models import (
 from . import checkpoint as ckpt
 from .config import TrainingConfig
 from .evaluate import EvalOut, EvalSettings, evaluate_pair
-from .learner import make_optimizer, set_learning_rate, train_step
+from .learner import (
+    make_optimizer,
+    make_train_epochs,
+    set_learning_rate,
+)
 from .replay import ReplayBuffer
 from .selfplay import SelfPlaySettings, selfplay_games
 
@@ -138,6 +142,12 @@ class AlphaZeroTrainer:
             logger.info(
                 "data-parallel over %d devices (%s)", n_dev, cfg.mesh_axis
             )
+        from ..parallel.sharding import batch_sharded as _bs
+
+        self._train_epochs = make_train_epochs(
+            self.net, self.tx,
+            _bs(self.mesh) if self.mesh is not None else None,
+        )
 
         os.makedirs(cfg.checkpoint_dir, exist_ok=True)
         logger.info(
@@ -200,38 +210,24 @@ class AlphaZeroTrainer:
         t0 = time.time()
         lr = self.cfg.lr_at(self.iteration)
         self.opt_state = set_learning_rate(self.opt_state, lr)
-        tot_p, tot_v, n_batches = 0.0, 0.0, 0
-        for _ in range(self.cfg.num_epochs):
-            for batch in self.buffer.epoch_batches(
-                self.cfg.batch_size, self.np_rng
-            ):
-                args = [jnp.asarray(x) for x in batch]
-                if self.mesh is not None:
-                    (
-                        self.params,
-                        self.batch_stats,
-                        self.opt_state,
-                        metrics,
-                    ) = self._sharded["train"](
-                        self.params, self.batch_stats, self.opt_state, *args
-                    )
-                else:
-                    (
-                        self.params,
-                        self.batch_stats,
-                        self.opt_state,
-                        metrics,
-                    ) = train_step(
-                        self.net,
-                        self.tx,
-                        self.params,
-                        self.batch_stats,
-                        self.opt_state,
-                        *args,
-                    )
-                tot_p += float(metrics.policy_loss)
-                tot_v += float(metrics.value_loss)
-                n_batches += 1
+        # all epochs' batches run as ONE on-device scan (the reference's
+        # per-batch host loop is dispatch-bound, train.py:384-432)
+        perm, wmask, n_batches = self.buffer.epoch_plan(
+            self.cfg.batch_size, self.cfg.num_epochs, self.np_rng
+        )
+        bufs = tuple(jnp.asarray(x) for x in self.buffer.arrays())
+        (
+            self.params,
+            self.batch_stats,
+            self.opt_state,
+            losses,
+        ) = self._train_epochs(
+            self.params, self.batch_stats, self.opt_state,
+            *bufs, jnp.asarray(perm), jnp.asarray(wmask),
+        )
+        losses = np.asarray(losses)[:n_batches]
+        tot_p = float(losses[:, 0].sum())
+        tot_v = float(losses[:, 1].sum())
         stats = {
             "policy_loss": tot_p / max(n_batches, 1),
             "value_loss": tot_v / max(n_batches, 1),
