@@ -6,9 +6,12 @@ eval_simulations per move; a game not finished at max_game_length is a draw
 (train.py:494-496 — NO material adjudication here, unlike self-play);
 win_rate = (wins + 0.5*draws) / games, promotion at >= eval_win_rate.
 
-TPU-native: all eval games run in one lockstep batch; each ply both models
-search the full batch and the per-game mover's result is selected.
-"""
+TPU-native: all eval games run in one lockstep batch, split into contiguous
+color halves (candidate is red in the first half). Eval games start from
+the initial position with no random openings, so every live game sits at
+the same ply — at any ply exactly one model is to move in each half, and
+each model searches only its half (the reference likewise only ever runs
+the mover's search, train.py:478-490)."""
 
 from __future__ import annotations
 
@@ -50,10 +53,12 @@ def evaluate_pair(
         c_puct=s.c_puct,
         max_children=s.max_children,
     )
+    assert batch % 2 == 0, "eval batch must be even (color halves)"
+    half = batch // 2
     states = E.reset_batch(batch)
     if batch_sharding is not None:
         states = jax.lax.with_sharding_constraint(states, batch_sharding)
-    new_is_red = (jnp.arange(batch) % 2) == 0
+    new_is_red = jnp.arange(batch) < half
 
     class Carry(NamedTuple):
         states: E.EnvState
@@ -69,18 +74,34 @@ def evaluate_pair(
         )
         return jnp.take_along_axis(res.actions, slot[:, None], axis=-1).squeeze(-1)
 
+    def swap_halves(tree):
+        return jax.tree.map(
+            lambda x: jnp.concatenate([x[half:], x[:half]], axis=0), tree
+        )
+
     def body(c: Carry) -> Carry:
         rng, k1, k2 = jax.random.split(c.rng, 3)
+        # red moves at even plies (no openings, all games in lockstep);
+        # order the batch so the candidate's games come first, search each
+        # half with only its mover's model, then restore the order
+        new_first = (c.t % 2) == 0  # candidate is red in the first half
+        ordered = jax.lax.cond(
+            new_first, lambda x: x, swap_halves, c.states
+        )
+        top = jax.tree.map(lambda x: x[:half], ordered)
+        bot = jax.tree.map(lambda x: x[half:], ordered)
         res_new = M.run_mcts(
-            eval_new, c.states, k1, mcfg, add_noise=False,
+            eval_new, top, k1, mcfg, add_noise=False,
             logits_eval=logits_eval,
         )
         res_old = M.run_mcts(
-            eval_old, c.states, k2, mcfg, add_noise=False,
+            eval_old, bot, k2, mcfg, add_noise=False,
             logits_eval=logits_eval,
         )
-        new_to_move = (c.states.side == 1) == new_is_red
-        act = jnp.where(new_to_move, greedy(res_new), greedy(res_old))
+        act_ordered = jnp.concatenate([greedy(res_new), greedy(res_old)])
+        act = jax.lax.cond(
+            new_first, lambda a: a, swap_halves, act_ordered
+        )
         return Carry(states=E.v_step(c.states, act), t=c.t + 1, rng=rng)
 
     out = jax.lax.while_loop(
