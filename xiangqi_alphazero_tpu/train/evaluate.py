@@ -11,14 +11,20 @@ color halves (candidate is red in the first half). Eval games start from
 the initial position with no random openings, so every live game sits at
 the same ply — at any ply exactly one model is to move in each half, and
 each model searches only its half (the reference likewise only ever runs
-the mover's search, train.py:478-490)."""
+the mover's search, train.py:478-490).
+
+``evaluate_pair`` is the one-shot jittable program; ``make_hosted_eval``
+drives bounded segments from the host (accelerator runtimes kill single
+programs past a wall-clock budget; see selfplay.py)."""
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..engine import env as E
 from ..search import mcts as M
@@ -39,47 +45,44 @@ class EvalOut(NamedTuple):
     new_is_red: jax.Array   # bool[B]
 
 
-def evaluate_pair(
+class EvalCarry(NamedTuple):
+    states: E.EnvState
+    t: jax.Array
+    rng: jax.Array
+
+
+def _init_carry(batch: int, rng: jax.Array, batch_sharding=None) -> EvalCarry:
+    states = E.reset_batch(batch)
+    if batch_sharding is not None:
+        states = jax.lax.with_sharding_constraint(states, batch_sharding)
+    return EvalCarry(states=states, t=jnp.int32(0), rng=rng)
+
+
+def _greedy(res: M.SearchResult) -> jax.Array:
+    slot = jnp.argmax(jnp.where(res.valid, res.visits, -1), axis=-1)
+    return jnp.take_along_axis(res.actions, slot[:, None], axis=-1).squeeze(-1)
+
+
+def _make_body(
     eval_new: Callable,
     eval_old: Callable,
     batch: int,
-    rng: jax.Array,
     s: EvalSettings,
-    logits_eval: bool = False,
-    batch_sharding=None,
-) -> EvalOut:
+    logits_eval: bool,
+) -> Callable[[EvalCarry], EvalCarry]:
+    half = batch // 2
     mcfg = M.MCTSConfig(
         num_simulations=s.num_simulations,
         c_puct=s.c_puct,
         max_children=s.max_children,
     )
-    assert batch % 2 == 0, "eval batch must be even (color halves)"
-    half = batch // 2
-    states = E.reset_batch(batch)
-    if batch_sharding is not None:
-        states = jax.lax.with_sharding_constraint(states, batch_sharding)
-    new_is_red = jnp.arange(batch) < half
-
-    class Carry(NamedTuple):
-        states: E.EnvState
-        t: jax.Array
-        rng: jax.Array
-
-    def cond(c: Carry):
-        return (c.t < s.max_game_length) & jnp.any(~c.states.done)
-
-    def greedy(res: M.SearchResult) -> jax.Array:
-        slot = jnp.argmax(
-            jnp.where(res.valid, res.visits, -1), axis=-1
-        )
-        return jnp.take_along_axis(res.actions, slot[:, None], axis=-1).squeeze(-1)
 
     def swap_halves(tree):
         return jax.tree.map(
             lambda x: jnp.concatenate([x[half:], x[:half]], axis=0), tree
         )
 
-    def body(c: Carry) -> Carry:
+    def body(c: EvalCarry) -> EvalCarry:
         rng, k1, k2 = jax.random.split(c.rng, 3)
         # red moves at even plies (no openings, all games in lockstep);
         # order the batch so the candidate's games come first, search each
@@ -98,17 +101,19 @@ def evaluate_pair(
             eval_old, bot, k2, mcfg, add_noise=False,
             logits_eval=logits_eval,
         )
-        act_ordered = jnp.concatenate([greedy(res_new), greedy(res_old)])
+        act_ordered = jnp.concatenate([_greedy(res_new), _greedy(res_old)])
         act = jax.lax.cond(
             new_first, lambda a: a, swap_halves, act_ordered
         )
-        return Carry(states=E.v_step(c.states, act), t=c.t + 1, rng=rng)
+        return EvalCarry(states=E.v_step(c.states, act), t=c.t + 1, rng=rng)
 
-    out = jax.lax.while_loop(
-        cond, body, Carry(states=states, t=jnp.int32(0), rng=rng)
-    )
+    return body
+
+
+def _finalize(out: EvalCarry, batch: int) -> EvalOut:
+    half = batch // 2
+    new_is_red = jnp.arange(batch) < half
     winners = jnp.where(out.states.done, out.states.winner, 0).astype(jnp.int8)
-
     new_won = ((winners == 1) & new_is_red) | ((winners == -1) & ~new_is_red)
     old_won = ((winners == -1) & new_is_red) | ((winners == 1) & ~new_is_red)
     return EvalOut(
@@ -118,3 +123,68 @@ def evaluate_pair(
         winners=winners,
         new_is_red=new_is_red,
     )
+
+
+def evaluate_pair(
+    eval_new: Callable,
+    eval_old: Callable,
+    batch: int,
+    rng: jax.Array,
+    s: EvalSettings,
+    logits_eval: bool = False,
+    batch_sharding=None,
+) -> EvalOut:
+    """One-shot jittable eval match (see module doc for hosted variant)."""
+    assert batch % 2 == 0, "eval batch must be even (color halves)"
+    body = _make_body(eval_new, eval_old, batch, s, logits_eval)
+
+    def cond(c: EvalCarry):
+        return (c.t < s.max_game_length) & jnp.any(~c.states.done)
+
+    out = jax.lax.while_loop(cond, body, _init_carry(batch, rng, batch_sharding))
+    return _finalize(out, batch)
+
+
+def make_hosted_eval(
+    net,
+    batch: int,
+    s: EvalSettings,
+    batch_sharding=None,
+    plies_per_segment: int = 16,
+):
+    """Host-driven eval: returns ``run(vars_new, vars_old, rng) -> EvalOut``
+    with bounded device programs (carry donated between segments)."""
+    assert batch % 2 == 0, "eval batch must be even (color halves)"
+    from ..models import policy_logits_fn
+
+    init_j = jax.jit(
+        functools.partial(_init_carry, batch, batch_sharding=batch_sharding)
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def segment(vars_new, vars_old, carry: EvalCarry) -> EvalCarry:
+        body = _make_body(
+            policy_logits_fn(net, vars_new),
+            policy_logits_fn(net, vars_old),
+            batch, s, logits_eval=True,
+        )
+        t_end = jnp.minimum(
+            carry.t + plies_per_segment, jnp.int32(s.max_game_length)
+        )
+
+        def cond(c: EvalCarry):
+            return (c.t < t_end) & jnp.any(~c.states.done)
+
+        return jax.lax.while_loop(cond, body, carry)
+
+    fin_j = jax.jit(functools.partial(_finalize, batch=batch))
+
+    def run(vars_new, vars_old, rng) -> EvalOut:
+        carry = init_j(rng)
+        for _ in range(-(-s.max_game_length // plies_per_segment)):
+            if not bool(np.asarray(jnp.any(~carry.states.done))):
+                break
+            carry = segment(vars_new, vars_old, carry)
+        return fin_j(carry)
+
+    return run

@@ -1,11 +1,21 @@
-"""Vectorized self-play: a whole iteration of games as ONE device program.
+"""Vectorized self-play: whole iterations of games as fused device programs.
 
 TPU-native replacement for the reference's process-parallel workers
 (reference: training/parallel_selfplay.py:42-134, 337-474): instead of N
 processes each playing games serially with per-simulation socket round-trips,
-the full batch of games plays in lockstep under one jit — search, stepping,
-recording, resign and adjudication all on-device, zero host round-trips
-until the iteration's data is fetched.
+the full batch of games plays in lockstep under jit — search, stepping,
+recording, resign and adjudication all on-device.
+
+Two drivers over the same loop body:
+
+- ``selfplay_games``: the whole iteration as ONE jittable program (tests,
+  dry-runs, small workloads);
+- ``make_hosted_selfplay``: a host loop over BOUNDED device programs of
+  ``plies_per_segment`` plies each, with the carry (env states + recorded
+  samples) living on device between segments. Long-running accelerator
+  runtimes kill single programs after a wall-clock budget (~60 s observed
+  on the tunneled v5e used for development), and bounded segments are also
+  interruptible and report progress.
 
 Semantics preserved from the reference worker loop (parallel_selfplay.py):
 - random opening: uniform random legal moves, count ~ randint(0, N)
@@ -23,10 +33,12 @@ Semantics preserved from the reference worker loop (parallel_selfplay.py):
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..engine import env as E
 from ..search import mcts as M
@@ -58,6 +70,23 @@ class SelfPlayOut(NamedTuple):
     total_moves: jax.Array  # int32[B] final move_count per game
 
 
+class SPCarry(NamedTuple):
+    """Loop state between plies (device-resident across hosted segments)."""
+
+    states: E.EnvState
+    forced: jax.Array         # bool[B] resign/adjudication ended
+    forced_winner: jax.Array  # int8[B]
+    resign_run: jax.Array     # int32[B]
+    n_rec: jax.Array          # int32[B]
+    t: jax.Array
+    rng: jax.Array
+    boards: jax.Array
+    sides: jax.Array
+    pi_actions: jax.Array
+    pi_probs: jax.Array
+    rec: jax.Array
+
+
 def _uniform_legal_action(legal: jax.Array, rng: jax.Array) -> jax.Array:
     """Uniform sample over an 8100-wide legal mask (== random.choice)."""
     g = jax.random.gumbel(rng, legal.shape)
@@ -70,35 +99,22 @@ def _adjudicate(board: jax.Array) -> jax.Array:
     return jnp.where(diff > 30, 1, jnp.where(diff < -30, -1, 0)).astype(jnp.int8)
 
 
-def selfplay_games(
-    eval_fn: Callable[[jax.Array], Tuple[jax.Array, jax.Array]],
-    batch: int,
-    rng: jax.Array,
-    s: SelfPlaySettings,
-    logits_eval: bool = False,
-    batch_sharding=None,
-) -> SelfPlayOut:
-    """Play ``batch`` games to completion. Jit with batch and s static.
-    ``logits_eval=True``: eval_fn returns raw logits (see run_mcts).
-    ``batch_sharding``: optional NamedSharding pinning the game batch onto a
-    mesh axis (GSPMD does not otherwise know to shard the internally created
-    fleet)."""
+def _alive(c: SPCarry) -> jax.Array:
+    return ~c.states.done & ~c.forced
+
+
+def _init_carry(
+    batch: int, rng: jax.Array, s: SelfPlaySettings, batch_sharding=None
+) -> SPCarry:
+    """Fresh games + random openings (reference: parallel_selfplay.py:60-69)."""
     T, K = s.max_game_length, s.max_children
-    mcfg = M.MCTSConfig(
-        num_simulations=s.num_simulations,
-        c_puct=s.c_puct,
-        max_children=K,
-    )
     fresh = E.reset_batch(batch)
     if batch_sharding is not None:
         fresh = jax.lax.with_sharding_constraint(fresh, batch_sharding)
     states = fresh
 
-    # ---- random openings (reference: parallel_selfplay.py:60-69) -------
     rng, k0 = jax.random.split(rng)
-    n_rand = jax.random.randint(
-        k0, (batch,), 0, s.random_opening_moves + 1
-    )
+    n_rand = jax.random.randint(k0, (batch,), 0, s.random_opening_moves + 1)
     aborted = jnp.zeros(batch, bool)
     for r in range(s.random_opening_moves):
         rng, kr = jax.random.split(rng)
@@ -124,30 +140,34 @@ def selfplay_games(
         )
         aborted = aborted | ended
 
-    # ---- main loop ------------------------------------------------------
-    class Carry(NamedTuple):
-        states: E.EnvState
-        forced: jax.Array         # bool[B] resign/adjudication ended
-        forced_winner: jax.Array  # int8[B]
-        resign_run: jax.Array     # int32[B]
-        n_rec: jax.Array          # int32[B]
-        t: jax.Array
-        rng: jax.Array
-        boards: jax.Array
-        sides: jax.Array
-        pi_actions: jax.Array
-        pi_probs: jax.Array
-        rec: jax.Array
+    return SPCarry(
+        states=states,
+        forced=jnp.zeros(batch, bool),
+        forced_winner=jnp.zeros(batch, jnp.int8),
+        resign_run=jnp.zeros(batch, jnp.int32),
+        n_rec=jnp.zeros(batch, jnp.int32),
+        t=jnp.int32(0),
+        rng=rng,
+        boards=jnp.zeros((T, batch, 90), jnp.int8),
+        sides=jnp.zeros((T, batch), jnp.int8),
+        pi_actions=jnp.full((T, batch, K), -1, jnp.int32),
+        pi_probs=jnp.zeros((T, batch, K), jnp.float32),
+        rec=jnp.zeros((T, batch), bool),
+    )
 
-    def alive_of(c: Carry) -> jax.Array:
-        return ~c.states.done & ~c.forced
 
-    def cond(c: Carry):
-        return (c.t < T) & jnp.any(alive_of(c))
+def _make_body(
+    eval_fn: Callable, batch: int, s: SelfPlaySettings, logits_eval: bool
+) -> Callable[[SPCarry], SPCarry]:
+    mcfg = M.MCTSConfig(
+        num_simulations=s.num_simulations,
+        c_puct=s.c_puct,
+        max_children=s.max_children,
+    )
 
-    def body(c: Carry) -> Carry:
+    def body(c: SPCarry) -> SPCarry:
         # adjudication first (reference checks at loop top, :76-86)
-        alive = alive_of(c)
+        alive = _alive(c)
         adj = alive & (c.states.ply >= s.max_game_length)
         forced = c.forced | adj
         forced_winner = jnp.where(
@@ -200,7 +220,7 @@ def selfplay_games(
         else:
             resign_run = c.resign_run
 
-        return Carry(
+        return SPCarry(
             states=states,
             forced=forced,
             forced_winner=forced_winner,
@@ -215,24 +235,12 @@ def selfplay_games(
             rec=rec,
         )
 
-    init = Carry(
-        states=states,
-        forced=jnp.zeros(batch, bool),
-        forced_winner=jnp.zeros(batch, jnp.int8),
-        resign_run=jnp.zeros(batch, jnp.int32),
-        n_rec=jnp.zeros(batch, jnp.int32),
-        t=jnp.int32(0),
-        rng=rng,
-        boards=jnp.zeros((T, batch, 90), jnp.int8),
-        sides=jnp.zeros((T, batch), jnp.int8),
-        pi_actions=jnp.full((T, batch, K), -1, jnp.int32),
-        pi_probs=jnp.zeros((T, batch, K), jnp.float32),
-        rec=jnp.zeros((T, batch), bool),
-    )
-    out = jax.lax.while_loop(cond, body, init)
+    return body
 
+
+def _finalize(out: SPCarry, s: SelfPlaySettings) -> SelfPlayOut:
     # games still alive after T loop iterations: material adjudication
-    leftover = alive_of(out)
+    leftover = _alive(out)
     forced_winner = jnp.where(
         leftover, jax.vmap(_adjudicate)(out.states.board), out.forced_winner
     )
@@ -259,3 +267,75 @@ def selfplay_games(
         plies=out.n_rec,
         total_moves=out.states.ply,
     )
+
+
+def selfplay_games(
+    eval_fn: Callable[[jax.Array], Tuple[jax.Array, jax.Array]],
+    batch: int,
+    rng: jax.Array,
+    s: SelfPlaySettings,
+    logits_eval: bool = False,
+    batch_sharding=None,
+) -> SelfPlayOut:
+    """Play ``batch`` games to completion as ONE program. Jit with batch and
+    s static. ``logits_eval=True``: eval_fn returns raw logits (see
+    run_mcts). ``batch_sharding``: optional NamedSharding pinning the game
+    batch onto a mesh axis (GSPMD does not otherwise know to shard the
+    internally created fleet).
+
+    NOTE: at production sizes one program can exceed accelerator runtime
+    wall-clock budgets — use ``make_hosted_selfplay`` for those."""
+    body = _make_body(eval_fn, batch, s, logits_eval)
+
+    def cond(c: SPCarry):
+        return (c.t < s.max_game_length) & jnp.any(_alive(c))
+
+    init = _init_carry(batch, rng, s, batch_sharding)
+    out = jax.lax.while_loop(cond, body, init)
+    return _finalize(out, s)
+
+
+def make_hosted_selfplay(
+    net,
+    batch: int,
+    s: SelfPlaySettings,
+    batch_sharding=None,
+    plies_per_segment: int = 16,
+):
+    """Host-driven self-play: returns ``run(variables, rng) -> SelfPlayOut``.
+
+    Each device program advances at most ``plies_per_segment`` plies (its
+    internal while_loop still stops early when every game is finished); the
+    carry stays on device and is donated between segments. ``variables`` are
+    traced arguments, so weight updates never recompile."""
+    from ..models import policy_logits_fn
+
+    init_j = jax.jit(
+        functools.partial(_init_carry, batch, s=s, batch_sharding=batch_sharding)
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def segment(variables, carry: SPCarry) -> SPCarry:
+        body = _make_body(
+            policy_logits_fn(net, variables), batch, s, logits_eval=True
+        )
+        t_end = jnp.minimum(
+            carry.t + plies_per_segment, jnp.int32(s.max_game_length)
+        )
+
+        def cond(c: SPCarry):
+            return (c.t < t_end) & jnp.any(_alive(c))
+
+        return jax.lax.while_loop(cond, body, carry)
+
+    fin_j = jax.jit(functools.partial(_finalize, s=s))
+
+    def run(variables, rng) -> SelfPlayOut:
+        carry = init_j(rng)
+        for _ in range(-(-s.max_game_length // plies_per_segment)):
+            if not bool(np.asarray(jnp.any(_alive(carry)))):
+                break
+            carry = segment(variables, carry)
+        return fin_j(carry)
+
+    return run

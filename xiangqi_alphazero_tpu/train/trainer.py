@@ -17,7 +17,6 @@ just the next call's arguments.
 
 from __future__ import annotations
 
-import functools
 import json
 import logging
 import os
@@ -28,48 +27,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models import (
-    XiangqiNet,
-    count_parameters,
-    init_net,
-    policy_logits_fn,
-    policy_value_fn,
-)
+from ..models import XiangqiNet, count_parameters, init_net
 from . import checkpoint as ckpt
 from .config import TrainingConfig
-from .evaluate import EvalOut, EvalSettings, evaluate_pair
+from .evaluate import EvalOut, EvalSettings, make_hosted_eval
 from .learner import (
     make_optimizer,
     make_train_epochs,
     set_learning_rate,
 )
 from .replay import ReplayBuffer
-from .selfplay import SelfPlaySettings, selfplay_games
+from .selfplay import SelfPlaySettings, make_hosted_selfplay
 
 logger = logging.getLogger("xiangqi_az_tpu")
-
-
-_net_eval_fn = policy_value_fn  # kept name: sharding/tests import it
-
-
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _run_selfplay(net, batch: int, settings: SelfPlaySettings, variables, rng):
-    return selfplay_games(
-        policy_logits_fn(net, variables), batch, rng, settings,
-        logits_eval=True,
-    )
-
-
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _run_eval(net, batch: int, settings: EvalSettings, vars_new, vars_old, rng):
-    return evaluate_pair(
-        policy_logits_fn(net, vars_new),
-        policy_logits_fn(net, vars_old),
-        batch,
-        rng,
-        settings,
-        logits_eval=True,
-    )
 
 
 class AlphaZeroTrainer:
@@ -118,7 +88,6 @@ class AlphaZeroTrainer:
         # Auto data-parallel over all local devices when every batch axis
         # divides the device count; single-device jit otherwise.
         self.mesh = None
-        self._sharded = {}
         n_dev = len(jax.devices())
         if (
             cfg.mesh_mode == "auto"
@@ -130,24 +99,23 @@ class AlphaZeroTrainer:
             from ..parallel import sharding as SH
 
             self.mesh = SH.make_mesh(axis_name=cfg.mesh_axis)
-            self._sharded = {
-                "selfplay": SH.make_sharded_selfplay(
-                    self.net, cfg.num_games_per_iter, self.sp_settings, self.mesh
-                ),
-                "train": SH.make_sharded_train_step(self.net, self.tx, self.mesh),
-                "eval": SH.make_sharded_eval(
-                    self.net, cfg.eval_games, self.eval_settings, self.mesh
-                ),
-            }
             logger.info(
                 "data-parallel over %d devices (%s)", n_dev, cfg.mesh_axis
             )
         from ..parallel.sharding import batch_sharded as _bs
 
-        self._train_epochs = make_train_epochs(
-            self.net, self.tx,
-            _bs(self.mesh) if self.mesh is not None else None,
+        sharding = _bs(self.mesh) if self.mesh is not None else None
+        # hosted drivers: bounded device programs (segments), carry stays
+        # on device — long single programs exceed accelerator wall clocks
+        self._selfplay_run = make_hosted_selfplay(
+            self.net, cfg.num_games_per_iter, self.sp_settings,
+            batch_sharding=sharding,
         )
+        self._eval_run = make_hosted_eval(
+            self.net, cfg.eval_games, self.eval_settings,
+            batch_sharding=sharding,
+        )
+        self._train_epochs = make_train_epochs(self.net, self.tx, sharding)
 
         os.makedirs(cfg.checkpoint_dir, exist_ok=True)
         logger.info(
@@ -165,16 +133,7 @@ class AlphaZeroTrainer:
     def self_play(self) -> Dict:
         t0 = time.time()
         best_vars = {"params": self.best_params, "batch_stats": self.best_stats}
-        if self.mesh is not None:
-            out = self._sharded["selfplay"](best_vars, self._next_key())
-        else:
-            out = _run_selfplay(
-                self.net,
-                self.cfg.num_games_per_iter,
-                self.sp_settings,
-                best_vars,
-                self._next_key(),
-            )
+        out = self._selfplay_run(best_vars, self._next_key())
         out = jax.tree.map(np.asarray, out)
         rec = out.rec.reshape(-1)
         n_new = self.buffer.add_games(
@@ -243,19 +202,7 @@ class AlphaZeroTrainer:
         t0 = time.time()
         vars_new = {"params": self.params, "batch_stats": self.batch_stats}
         vars_old = {"params": self.best_params, "batch_stats": self.best_stats}
-        if self.mesh is not None:
-            out: EvalOut = self._sharded["eval"](
-                vars_new, vars_old, self._next_key()
-            )
-        else:
-            out = _run_eval(
-                self.net,
-                self.cfg.eval_games,
-                self.eval_settings,
-                vars_new,
-                vars_old,
-                self._next_key(),
-            )
+        out: EvalOut = self._eval_run(vars_new, vars_old, self._next_key())
         new_wins, old_wins, draws = (
             int(out.new_wins),
             int(out.old_wins),
