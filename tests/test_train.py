@@ -139,3 +139,41 @@ def test_lr_schedule_multistep():
     assert cfg.lr_at(1) == pytest.approx(0.002)
     assert cfg.lr_at(50) == pytest.approx(0.0002)
     assert cfg.lr_at(80) == pytest.approx(0.00002)
+
+
+def test_hosted_selfplay_matches_oneshot():
+    """The segmented host-driven driver must reproduce the one-shot program
+    exactly (same rng stream, same body sequence)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xiangqi_alphazero_tpu.models import init_net, policy_logits_fn
+    from xiangqi_alphazero_tpu.train.selfplay import (
+        SelfPlaySettings,
+        make_hosted_selfplay,
+        selfplay_games,
+    )
+
+    net, variables = init_net(jax.random.key(0), channels=8, blocks=1)
+    s = SelfPlaySettings(
+        num_simulations=4,
+        max_game_length=12,
+        temperature_threshold=4,
+        random_opening_moves=2,
+        enable_resign=True,
+        resign_check_steps=2,
+    )
+    rng = jax.random.key(5)
+    one = jax.jit(
+        lambda v, k: selfplay_games(
+            policy_logits_fn(net, v), 4, k, s, logits_eval=True
+        )
+    )(variables, rng)
+    hosted = make_hosted_selfplay(net, 4, s, plies_per_segment=5)(
+        variables, rng
+    )
+    for a, b, name in zip(one, hosted, one._fields):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name
+        )
