@@ -177,3 +177,32 @@ def test_hosted_selfplay_matches_oneshot():
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b), err_msg=name
         )
+
+
+def test_hosted_eval_matches_oneshot():
+    """The segmented eval driver must reproduce the one-shot program."""
+    import jax
+    import numpy as np
+
+    from xiangqi_alphazero_tpu.models import init_net, policy_logits_fn
+    from xiangqi_alphazero_tpu.train.evaluate import (
+        EvalSettings,
+        evaluate_pair,
+        make_hosted_eval,
+    )
+
+    net, v1 = init_net(jax.random.key(0), channels=8, blocks=1)
+    _, v2 = init_net(jax.random.key(1), channels=8, blocks=1)
+    s = EvalSettings(num_simulations=4, max_game_length=10)
+    rng = jax.random.key(5)
+    one = jax.jit(
+        lambda a, b, k: evaluate_pair(
+            policy_logits_fn(net, a), policy_logits_fn(net, b), 4, k, s,
+            logits_eval=True,
+        )
+    )(v1, v2, rng)
+    hosted = make_hosted_eval(net, 4, s, plies_per_segment=3)(v1, v2, rng)
+    for a, b, name in zip(one, hosted, one._fields):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name
+        )
