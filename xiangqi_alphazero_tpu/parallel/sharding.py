@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..train import learner as L
 from ..train.evaluate import EvalSettings, evaluate_pair
 from ..train.selfplay import SelfPlaySettings, selfplay_games
-from ..models import policy_logits_fn, policy_value_fn as _net_eval_fn
+from ..models import policy_logits_fn
 
 
 def make_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:

@@ -20,7 +20,7 @@ programs past a wall-clock budget; see selfplay.py)."""
 from __future__ import annotations
 
 import functools
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models import XiangqiNet, count_parameters, init_net
+from ..models import count_parameters, init_net
 from . import checkpoint as ckpt
 from .config import TrainingConfig
 from .evaluate import EvalOut, EvalSettings, make_hosted_eval
