@@ -206,3 +206,34 @@ def test_hosted_eval_matches_oneshot():
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b), err_msg=name
         )
+
+
+def test_epoch_plan_matches_epoch_batches():
+    """The on-device scan's index plan must enumerate exactly the batches
+    the host-loop iterator would produce from the same RNG state."""
+    import numpy as np
+
+    from xiangqi_alphazero_tpu.train.replay import ReplayBuffer
+
+    buf = ReplayBuffer(512, 8)
+    rng = np.random.default_rng(3)
+    n = 100
+    buf.add_games(
+        rng.integers(-7, 8, (n, 90)).astype(np.int8),
+        np.ones(n, np.int8),
+        rng.integers(0, 8100, (n, 8)).astype(np.int32),
+        np.full((n, 8), 1 / 8, np.float32),
+        np.zeros(n, np.float32),
+        augment=False,
+    )
+    r1 = np.random.default_rng(11)
+    r2 = np.random.default_rng(11)
+    perm, wmask, steps = buf.epoch_plan(32, 2, r1)
+    assert perm.shape[0] == -(-buf.capacity // 32) * 2  # capacity-derived
+    it = list(buf.epoch_batches(32, r2)) + list(buf.epoch_batches(32, r2))
+    assert steps == len(it)
+    for i, batch in enumerate(it):
+        boards, _, _, _, _, w = batch
+        np.testing.assert_array_equal(w, wmask[i])
+        np.testing.assert_array_equal(boards, buf.boards[perm[i]])
+    assert not wmask[steps:].any()
