@@ -54,6 +54,9 @@ class GameService:
             self.predictor = Predictor.load(
                 found[0]["path"], num_simulations=self.num_simulations
             )
+            # compile forward + search now, not on the first human move
+            # (reference server warmup: inference_server.py:101-107)
+            self.predictor.warmup()
             self.model_name = name
             return 200, {"success": True, "model_name": name, "device": "tpu"}
         except Exception as e:  # noqa: BLE001 — surfaced to the client
@@ -63,9 +66,13 @@ class GameService:
         self.human_side = 1 if data.get("human_side", "red") == "red" else -1
         sims = int(data.get("num_simulations", 500))
         self.num_simulations = max(10, min(10000, sims))
-        if self.predictor is not None:
+        if (
+            self.predictor is not None
+            and self.predictor.num_simulations != self.num_simulations
+        ):
             self.predictor.num_simulations = self.num_simulations
             self.predictor.__dict__.pop("_search", None)  # re-jit at new depth
+            self.predictor.warmup()  # compile now, not on the first move
         self.game = Position()
         result = {
             "board": self.game.board_array().reshape(10, 9).tolist(),

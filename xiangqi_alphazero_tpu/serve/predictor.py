@@ -161,6 +161,17 @@ class Predictor:
 
         return f
 
+    def warmup(self) -> None:
+        """Compile the forward + search programs now so the first
+        human_move doesn't pay 1-2 min of XLA compile latency (the
+        reference server warms up the same way at startup,
+        inference_server.py:101-107)."""
+        from ..engine.oracle import Position as _P
+
+        pos = _P()
+        self.raw_predict(pos)
+        self.search_position(pos)
+
     def raw_predict(self, pos: Position) -> Tuple[np.ndarray, float]:
         """(softmax policy[8100], value) for a single position — the
         reference's model.predict (model.py:109-124)."""
