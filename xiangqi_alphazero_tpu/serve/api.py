@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional, Tuple
 
@@ -36,6 +37,12 @@ class GameService:
         self.human_side = 1
         self.num_simulations = 500
         self.lock = threading.Lock()
+        # shutdown stats, like the reference inference server's req/s
+        # report (inference_server.py:282-286)
+        self.started = time.time()
+        self.requests = 0
+        self.ai_moves = 0
+        self.ai_time = 0.0
 
     # each method returns (status_code, payload)
     def models(self) -> Tuple[int, Dict]:
@@ -83,7 +90,7 @@ class GameService:
             "ai_analysis": None,
         }
         if self.human_side == -1 and self.predictor is not None:
-            result.update(self.predictor.ai_move(self.game))
+            result.update(self._timed_ai_move())
         return 200, result
 
     def human_move(self, data: Dict) -> Tuple[int, Dict]:
@@ -106,8 +113,24 @@ class GameService:
             "ai_analysis": None,
         }
         if not done and self.predictor is not None:
-            result.update(self.predictor.ai_move(self.game))
+            result.update(self._timed_ai_move())
         return 200, result
+
+    def _timed_ai_move(self) -> Dict:
+        t0 = time.time()
+        out = self.predictor.ai_move(self.game)
+        self.ai_moves += 1
+        self.ai_time += time.time() - t0
+        return out
+
+    def stats_line(self) -> str:
+        dt = max(time.time() - self.started, 1e-9)
+        avg = self.ai_time / max(self.ai_moves, 1)
+        return (
+            f"served {self.requests} requests in {dt:.0f}s "
+            f"({self.requests / dt:.2f} req/s), {self.ai_moves} AI moves "
+            f"(avg {avg:.2f}s, {self.num_simulations} sims)"
+        )
 
     def get_legal_moves(self, data: Dict) -> Tuple[int, Dict]:
         if self.game is None:
@@ -193,6 +216,7 @@ def make_handler(service: GameService):
                 return
             try:
                 with service.lock:
+                    service.requests += 1
                     self._send(*fn(data))
             except (KeyError, TypeError, ValueError) as e:
                 self._send(400, {"error": f"bad request: {e!r}"})
@@ -208,7 +232,11 @@ def serve(host: str = "127.0.0.1", port: int = 5000,
     service = GameService(model_dirs)
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
     print(f"xiangqi-az-tpu demo API on http://{host}:{port}")
-    httpd.serve_forever()
+    try:
+        httpd.serve_forever()
+    finally:
+        # shutdown throughput report (reference: inference_server.py:282-286)
+        print(service.stats_line())
 
 
 if __name__ == "__main__":
