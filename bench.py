@@ -22,6 +22,9 @@ BASELINE_SIMS_PER_SEC = 139.0
 
 
 def main() -> None:
+    from xiangqi_alphazero_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from xiangqi_alphazero_tpu.engine import env as E
     from xiangqi_alphazero_tpu.models import init_net
     from xiangqi_alphazero_tpu.search import MCTSConfig, run_mcts

@@ -12,6 +12,9 @@ import sys
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(prog="xiangqi_alphazero_tpu.serve")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -11,6 +11,9 @@ from .trainer import AlphaZeroTrainer
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_argparser().parse_args(argv)
     cfg, resume = config_from_args(args)
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
