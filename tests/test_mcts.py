@@ -1,9 +1,14 @@
 """Batched MCTS tests.
 
-The key test is exact equivalence against a host-side mirror of the
-reference search (training/mcts.py semantics, ascending-order tie-breaks)
-driven by the same deterministic mock network — the batched array tree and
-the object tree must produce identical root visit counts with noise off.
+The key tests are exact equivalence against a host-side mirror of the
+reference search (training/mcts.py semantics: children iterated in ascending
+action order with a strict '>' UCB update, so exact ties resolve to the
+LOWEST action) driven by the same deterministic mock network — the batched
+array tree and the object tree must produce identical root visit counts
+with noise off. The batched implementation stores children in a per-piece
+slot layout (NOT action-ordered) and reproduces the reference tie-break via
+a lexicographic (ucb, lowest-action) argmax; parity is asserted on the
+opening position AND on randomly advanced midgame positions.
 """
 
 import math
@@ -150,6 +155,52 @@ def test_exact_match_vs_reference_mirror():
     }
     want = _py_mcts(Position(), 40)
     assert got == want, f"batched={got}\nmirror={want}"
+
+
+def _advance_random(plies: int, seed: int) -> Position:
+    """Roll the oracle forward by random legal moves, then strip history so
+    the position matches a fresh ``state_from_numpy`` env state."""
+    rng = np.random.default_rng(seed)
+    pos = Position()
+    for _ in range(plies):
+        acts = pos.legal_actions()
+        done, _ = pos.result()
+        if done or not acts:
+            break
+        pos.apply(int(rng.choice(acts)))
+    fresh = Position()
+    fresh.board = list(pos.board)
+    fresh.side = pos.side
+    fresh._legal_cache = None
+    return fresh
+
+
+def test_exact_match_vs_mirror_random_positions():
+    """Mirror parity on midgame positions where the per-piece slot order
+    differs from ascending action order — guards the tie-break semantics
+    (every search's first simulation is an exact all-way UCB tie)."""
+    cfg = MCTSConfig(num_simulations=36)
+    cases = [_advance_random(plies, seed) for plies, seed in
+             [(2, 0), (5, 1), (9, 2), (14, 3), (23, 4), (40, 5)]]
+    states = [
+        E.state_from_numpy(np.asarray(p.board, np.int8), p.side)
+        for p in cases
+    ]
+    roots = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    run = jax.jit(
+        lambda r, k: run_mcts(_jax_eval, r, k, cfg, add_noise=False)
+    )
+    res = run(roots, jax.random.key(0))
+    for i, pos in enumerate(cases):
+        got = {
+            int(a): int(n)
+            for a, n in zip(
+                np.asarray(res.actions[i]), np.asarray(res.visits[i])
+            )
+            if n > 0
+        }
+        want = _py_mcts(pos, 36)
+        assert got == want, f"case {i}: batched={got}\nmirror={want}"
 
 
 def test_finds_immediate_king_capture():

@@ -262,7 +262,16 @@ def _descend_one(tree: Tree, root: _Core, c_puct: float, max_depth: int):
         q = jnp.where(e_n > 0, e_w / jnp.maximum(e_n, 1.0), 0.0)
         u = c_puct * pr * jnp.sqrt(c.node_n) / (1.0 + e_n)
         ucb = jnp.where(valid, q + u, -jnp.inf)
-        slot = jnp.argmax(ucb).astype(jnp.int32)
+        # Lexicographic argmax on (ucb, lowest action): the reference iterates
+        # children in ascending action order with a strict '>' update
+        # (mcts.py:43-58), so exact UCB ties resolve to the LOWEST action.
+        # The per-piece slot layout is not action-ordered, so a plain slot
+        # argmax would break ties differently (every search's first
+        # simulation is an all-way tie at N_parent=0).
+        tied = valid & (ucb == jnp.max(ucb))
+        slot = jnp.argmin(
+            jnp.where(tied, acts, jnp.int32(ACTION_SPACE))
+        ).astype(jnp.int32)
         a = acts[slot]
         # cheap core step: interior nodes' terminality lives in the tree;
         # the leaf's legal mask / terminal verdict is computed once after
