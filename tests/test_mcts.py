@@ -64,20 +64,26 @@ class _Node:
         self.kids = {}  # action -> _Node, inserted in ascending order
 
 
-def _priors(pos: Position):
+def _priors(pos: Position, raw=None):
+    raw = _FIXED_PROBS if raw is None else raw
     acts = pos.legal_actions()
-    mass = np.float32(sum(np.float32(_FIXED_PROBS[a]) for a in acts))
+    mass = np.float32(sum(np.float32(raw[a]) for a in acts))
     if mass > 0:
-        return {a: np.float32(_FIXED_PROBS[a]) / mass for a in acts}
+        return {a: np.float32(raw[a]) / mass for a in acts}
     return {a: np.float32(1.0 / len(acts)) for a in acts}
 
 
-def _py_mcts(pos: Position, sims: int, c_puct=1.5):
+def _py_mcts(pos: Position, sims: int, c_puct=1.5, raw_probs=None,
+             value_fn=None):
     """Reference-semantics MCTS (training/mcts.py:94-155) with ascending
     action order and float32 UCB, matching the batched implementation's
-    deterministic tie-breaks."""
+    deterministic tie-breaks. ``raw_probs``/``value_fn`` override the mock
+    network (used by scripts/tpu_search_parity.py with exact-dyadic
+    arithmetic so TPU-vs-host parity is bit-exact)."""
+    if value_fn is None:
+        value_fn = _mock_value_from_feats
     root = _Node()
-    for a, p in _priors(pos).items():
+    for a, p in _priors(pos, raw_probs).items():
         root.kids[a] = _Node(p)
     root_n = 0
 
@@ -108,8 +114,8 @@ def _py_mcts(pos: Position, sims: int, c_puct=1.5):
             v = 0.0 if winner == 0 else 1.0
         else:
             feats = sim.features().transpose(1, 2, 0)
-            v = _mock_value_from_feats(feats)
-            for a, p in _priors(sim).items():
+            v = value_fn(feats)
+            for a, p in _priors(sim, raw_probs).items():
                 node.kids[a] = _Node(p)
             v = -v
 

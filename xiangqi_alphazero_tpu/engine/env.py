@@ -384,6 +384,32 @@ def _terminal(
     return done, winners[first]
 
 
+def apply_move(board: jax.Array, f: jax.Array, t: jax.Array) -> jax.Array:
+    """Move the piece on square f to square t as a DENSE one-hot select.
+
+    NOT `board.at[t].set(board[f]).at[f].set(0)`: the chained per-lane
+    scatter pair MISCOMPILES on the tunneled-TPU backend when vmapped over
+    heterogeneous (f, t) — both scatters get the t index, zeroing the
+    destination and leaving the source in place (observed on 592/1024
+    boards, deterministic; tests/test_tpu_exec.py guards it). The dense
+    form is also scatter-free, which the measured cost model prefers.
+    Semantics match the scatter chain exactly, including f == t -> 0."""
+    iota = jnp.arange(NSQ, dtype=jnp.int32)
+    ohf = iota == f
+    oht = iota == t
+    piece = jnp.sum(jnp.where(ohf, board, jnp.int8(0))).astype(board.dtype)
+    return jnp.where(
+        ohf, jnp.int8(0), jnp.where(oht, piece, board)
+    )
+
+
+def update_hist(hist: jax.Array, ply: jax.Array, board: jax.Array) -> jax.Array:
+    """hist[ply % HIST_LEN] = board as a dense select (same scatter-poison
+    avoidance as apply_move)."""
+    slot = jax.lax.broadcasted_iota(jnp.int32, (HIST_LEN, 1), 0)
+    return jnp.where(slot == ply % HIST_LEN, board[None, :], hist)
+
+
 def step_core(state: EnvState, action: jax.Array) -> EnvState:
     """Board/counter/history update ONLY — ``legal``/``done``/``winner`` are
     left STALE. This is the cheap half of ``step`` for callers that already
@@ -393,11 +419,10 @@ def step_core(state: EnvState, action: jax.Array) -> EnvState:
     T = _T()
     a = action.astype(jnp.int32)
     f, t = T["FR"][a], T["TO"][a]
-    piece = state.board[f]
     captured = state.board[t]
 
-    hist = state.hist.at[state.ply % HIST_LEN].set(state.board)
-    board = state.board.at[t].set(piece).at[f].set(jnp.int8(0))
+    hist = update_hist(state.hist, state.ply, state.board)
+    board = apply_move(state.board, f, t)
     quiet = jnp.where(captured != 0, 0, state.quiet + 1).astype(jnp.int32)
     return state.replace(
         board=board,

@@ -215,14 +215,14 @@ class _Core(NamedTuple):
 
 
 def _core_step(c: _Core, action: jax.Array) -> _Core:
-    """engine.env.step_core on the reduced carry."""
+    """engine.env.step_core on the reduced carry (dense move application —
+    see env.apply_move for the chained-scatter miscompile this avoids)."""
     T = E._T()
     a = action.astype(jnp.int32)
     f, t = T["FR"][a], T["TO"][a]
-    piece = c.board[f]
     captured = c.board[t]
-    hist = c.hist.at[c.ply % E.HIST_LEN].set(c.board)
-    board = c.board.at[t].set(piece).at[f].set(jnp.int8(0))
+    hist = E.update_hist(c.hist, c.ply, c.board)
+    board = E.apply_move(c.board, f, t)
     quiet = jnp.where(captured != 0, 0, c.quiet + 1).astype(jnp.int32)
     return _Core(
         board=board,
@@ -451,20 +451,34 @@ def run_mcts(
         # --- backup: dense one-hot contraction over the recorded path ----
         # edge at depth d leads to the node at depth d+1; the deepest
         # updated edge is d = depth-1 and carries v, signs alternate upward
-        validp = d_iota[None, :] < depth[:, None]              # [B, D]
-        ohn = (
-            (pnode[:, :, None] == node_iota) & validp[:, :, None]
-        ).astype(jnp.float32)                                  # [B, D, N]
-        ohk = (pslot[:, :, None] == slot_iota).astype(jnp.float32)  # [B,D,K]
-        odd = ((depth[:, None] - 1 - d_iota) % 2) != 0
-        weight = jnp.where(validp, jnp.where(odd, -v[:, None], v[:, None]), 0.0)
-        # one contraction producing the [B, N, 2, K] delta directly (t=2
-        # plane: visit increment, weighted value) — a separate dn/dw +
-        # stack costs an extra layout copy of the whole ew array per sim
-        wn = jnp.stack([validp.astype(jnp.float32), weight], axis=2)  # [B,D,2]
-        ohk2 = ohk[:, :, None, :] * wn[..., None]                     # [B,D,2,K]
-        delta = jnp.einsum("bdn,bdtk->bntk", ohn, ohk2)
-        ew = tree.ew + delta
+        def backup_delta(pnode_d, pslot_d, di):
+            """[B, N, 2, K] stat delta from a path prefix of static length
+            len(di). One contraction producing the delta directly (t=2
+            plane: visit increment, weighted value) — a separate dn/dw +
+            stack costs an extra layout copy of the whole ew array per
+            sim."""
+            validp = di[None, :] < depth[:, None]              # [B, D]
+            ohn = (
+                (pnode_d[:, :, None] == node_iota) & validp[:, :, None]
+            ).astype(jnp.float32)                              # [B, D, N]
+            ohk = (pslot_d[:, :, None] == slot_iota).astype(jnp.float32)
+            odd = ((depth[:, None] - 1 - di) % 2) != 0
+            weight = jnp.where(
+                validp, jnp.where(odd, -v[:, None], v[:, None]), 0.0
+            )
+            wn = jnp.stack([validp.astype(jnp.float32), weight], axis=2)
+            ohk2 = ohk[:, :, None, :] * wn[..., None]          # [B,D,2,K]
+            return jnp.einsum("bdn,bdtk->bntk", ohn, ohk2)
+
+        # Full static-length contraction, fused with the ew add. A
+        # depth-capped variant (lax.cond: short contraction for typical
+        # <=10-deep paths, exact full-length fallback) measured SLOWER —
+        # 145k sims/s with the add outside the cond, 163k with the add
+        # inside each branch, vs 168k for this form (standard config): the
+        # cond double-buffers the [B, N, 2, K] carry and breaks the
+        # conv+add in-place fusion, costing more than the shorter
+        # contraction saves. See docs/PERF_NOTES.md.
+        ew = tree.ew + backup_delta(pnode, pslot, d_iota)
 
         return tree.replace(
             child=child,
