@@ -2,14 +2,19 @@
 
 Measures end-to-end searched simulations per second — env stepping, legal
 masking, tree ops and network evals included — on the quick-preset network
-(64ch/3res, the reference's quick training net, reference: train.py:654-657).
+(64ch/3res, the reference's quick training net, reference: train.py:654-657),
+plus the two BASELINE.md north-star numbers as extra keys on the same JSON
+line: raw env-step throughput (boards/s through step_batch at batch 8192)
+and the search loop's model FLOP utilization (network FLOPs dispatched /
+bf16 peak).
 
 Baseline: the reference's published quick-config sample run sustains
 ~0.116 games/s with 4 worker processes + batch inference server at 20
 sims/move and ~60 plies/game (reference: models/training_stats.json:4-16),
 i.e. ~139 NN-evaluated simulations/second. vs_baseline = ours / 139.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu",
+"env_steps_per_sec"}.
 """
 
 import json
@@ -17,8 +22,10 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BASELINE_SIMS_PER_SEC = 139.0
+BF16_PEAK_FLOPS = 197e12  # v5e chip peak (bf16)
 
 
 def main() -> None:
@@ -56,17 +63,61 @@ def main() -> None:
     # compile + warmup
     rng, k = jax.random.split(rng)
     states = search_and_step(states, k)
-    jax.block_until_ready(states.board)
+    np.asarray(states.ply)  # block (plain block_until_ready may not, here)
 
     n_rounds = 8
     t0 = time.perf_counter()
     for _ in range(n_rounds):
         rng, k = jax.random.split(rng)
         states = search_and_step(states, k)
-    jax.block_until_ready(states.board)
+    np.asarray(states.ply)
     dt = time.perf_counter() - t0
-
     sims_per_sec = batch * sims * n_rounds / dt
+
+    # --- MFU: network FLOPs dispatched by the search / chip bf16 peak -----
+    # One forward per simulation plus the root eval, each over the full
+    # game batch (XLA's own cost model for the compiled forward).
+    fwd = jax.jit(lambda x: net.apply(variables, x, train=False))
+    cost = fwd.lower(jnp.zeros((batch, 10, 9, 15), jnp.float32)).compile()
+    flops_fwd = float(cost.cost_analysis()["flops"])
+    evals_per_round = sims + 1
+    mfu = (flops_fwd * evals_per_round * n_rounds / dt) / BF16_PEAK_FLOPS
+
+    # --- raw env-step throughput (BASELINE.md: >=1M boards/s/chip) --------
+    # Donated carry (as the self-play loop holds it) and a large batch so
+    # the tunnel's ~1-2 ms dispatch overhead amortizes into the ~15 ms
+    # device program; full outputs (legal mask included) are materialized.
+    eb = 16384
+    estates = jax.jit(E.reset_batch, static_argnums=0)(eb)
+    step_warm = jax.jit(E.v_step)
+    k = jax.random.key(2)
+    for _ in range(6):  # advance to realistic midgame occupancy
+        k, k2 = jax.random.split(k)
+        g = jax.random.gumbel(k2, estates.legal.shape)
+        act = jnp.argmax(
+            jnp.where(estates.legal, g, -jnp.inf), -1
+        ).astype(jnp.int32)
+        estates = step_warm(estates, act)
+    np.asarray(estates.ply)
+    acts = []
+    for _ in range(13):
+        k, k2 = jax.random.split(k)
+        g = jax.random.gumbel(k2, estates.legal.shape)
+        acts.append(
+            jnp.argmax(jnp.where(estates.legal, g, -jnp.inf), -1).astype(
+                jnp.int32
+            )
+        )
+    step_j = jax.jit(E.v_step, donate_argnums=0)
+    estates = step_j(estates, acts[0])  # compile donated variant
+    np.asarray(estates.ply)
+    t0 = time.perf_counter()
+    for a in acts[1:]:
+        estates = step_j(estates, a)
+    np.asarray(estates.ply)
+    env_dt = time.perf_counter() - t0
+    env_steps_per_sec = eb * (len(acts) - 1) / env_dt
+
     print(
         json.dumps(
             {
@@ -74,6 +125,8 @@ def main() -> None:
                 "value": round(sims_per_sec, 1),
                 "unit": f"simulations/s (batch={batch} games, 64 sims/move, 64ch/3res net, 1 chip)",
                 "vs_baseline": round(sims_per_sec / BASELINE_SIMS_PER_SEC, 2),
+                "mfu": round(mfu, 4),
+                "env_steps_per_sec": round(env_steps_per_sec, 1),
             }
         )
     )

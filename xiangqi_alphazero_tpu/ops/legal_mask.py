@@ -69,30 +69,11 @@ def _const() -> dict:
     block = np.zeros((_KPAD, _APAD), np.float32)
     block[:NSQ, :ACTION_SPACE] = t["BLOCK"]
 
-    # Square-pair tables reorganized for one-hot matmul lookup (gathers are
-    # slow on TPU; `row @ TABLE` with a one-hot row rides the MXU instead):
-    # BTW_K[y, x*90+z] = BTW[x, y, z] so BTW_k = oh_king @ BTW_K.
-    btw = t["BTW"].astype(np.float32)                   # [x, y, z]
-    btw_k = btw.transpose(1, 0, 2).reshape(NSQ, NSQ * NSQ)
-    # Palace sub-pass statics, per my-side index: pal = PALACE_SQ[si].
-    pal_sq = t["PALACE_SQ"]                             # [2, 9]
-    btw_pal = np.stack([btw[:, pal_sq[si], :] for si in (0, 1)])  # [2,90,9,90]
-    alg_pal = np.stack(
-        [t["ALIGNED_SQ"][:, pal_sq[si]] for si in (0, 1)]
-    ).astype(np.float32)                                 # [2, 90, 9]
-    hp_pal = np.stack(
-        [t["HORSE_PAIR"][:, pal_sq[si]] for si in (0, 1)]
-    ).astype(np.float32)
-    kleg_pal = np.stack(
-        [t["KLEG"][:, pal_sq[si]] for si in (0, 1)]
-    ).astype(np.float32)
-    pa_pal = np.stack(
-        [t["PAWN_ATK"][1 - si][:, pal_sq[si]] for si in (0, 1)]
-    ).astype(np.float32)                                 # attacker = enemy
-
     # numpy-side dtype conversion + import-time materialization (bottom of
     # file): creating/converting device constants inside a jit trace would
-    # cache leaked tracers.
+    # cache leaked tracers. The per-(square, king) geometry (between rows,
+    # alignment, horse legs, pawn attacks) needs NO tables — it is computed
+    # arithmetically from row/col coordinates in _precompute_batch.
     bf16 = jnp.bfloat16.dtype
     c = {
         "FROM1H": jnp.asarray(one_hot_pad(FR).astype(bf16)),
@@ -106,23 +87,7 @@ def _const() -> dict:
         "PAWN_A": jnp.asarray(pad_a(t["PAWN_A"], np.float32)),
         "HORSE_A": jnp.asarray(pad_a(t["HORSE_A"], np.float32)[None]),
         "ALIGNED_A": jnp.asarray(pad_a(t["ALIGNED_A"], np.float32)[None]),
-        # precompute tables (one-hot matmul lookups)
-        "BTW_K": jnp.asarray(btw_k),
-        "ALIGNED_SQ_F": jnp.asarray(t["ALIGNED_SQ"].astype(np.float32)),
-        "HORSE_PAIR_F": jnp.asarray(t["HORSE_PAIR"].astype(np.float32)),
-        "KLEG_F": jnp.asarray(t["KLEG"].T.astype(np.float32)),  # [y=k, x]
-        "PAWN_ATK_F": jnp.asarray(
-            t["PAWN_ATK"].transpose(0, 2, 1).astype(np.float32)
-        ),  # [e, y=k, x]
-        "PALV": jnp.asarray(pal_sq.astype(np.float32)),
-        # palace statics pre-contracted on z at call time: [2, 90(z), 9*90]
-        "BTW_PAL_Z": jnp.asarray(
-            btw_pal.transpose(0, 3, 1, 2).reshape(2, NSQ, NSQ * 9)
-        ),
-        "ALG_PAL": jnp.asarray(alg_pal),
-        "HP_PAL": jnp.asarray(hp_pal),
-        "KLEG_PAL": jnp.asarray(kleg_pal),
-        "PA_PAL": jnp.asarray(pa_pal),
+        "PALV": jnp.asarray(t["PALACE_SQ"].astype(np.float32)),
     }
     return c
 
@@ -135,10 +100,64 @@ def _const() -> dict:
 # --------------------------------------------------------------------------
 
 
+def _btw_rows(xs: jax.Array, ys: jax.Array) -> jax.Array:
+    """BTW rows computed ARITHMETICALLY: out[..., z] = 1 iff z strictly
+    between aligned squares xs and ys (xs/ys int32, broadcastable; output
+    gains a trailing 90 axis). Bit-identical to the BTW table — 'between'
+    is pure row/col arithmetic, so no [*, 90, 90] table materialization."""
+    xr, xc = xs // 9, xs % 9
+    yr, yc = ys // 9, ys % 9
+    zr = jnp.arange(NSQ, dtype=jnp.int32) // 9
+    zc = jnp.arange(NSQ, dtype=jnp.int32) % 9
+    xr_, xc_ = xr[..., None], xc[..., None]
+    yr_, yc_ = yr[..., None], yc[..., None]
+    row = (
+        (xr_ == yr_)
+        & (zr == xr_)
+        & (zc > jnp.minimum(xc_, yc_))
+        & (zc < jnp.maximum(xc_, yc_))
+    )
+    col = (
+        (xc_ == yc_)
+        & (zc == xc_)
+        & (zr > jnp.minimum(xr_, yr_))
+        & (zr < jnp.maximum(xr_, yr_))
+    )
+    return (row | col).astype(jnp.float32)
+
+
+def _aligned(xs: jax.Array, ys: jax.Array) -> jax.Array:
+    """ALIGNED_SQ arithmetically: same rank xor same file (x != y)."""
+    return ((xs // 9 == ys // 9) ^ (xs % 9 == ys % 9))
+
+
+def _horse_geom(xs: jax.Array, ys: jax.Array):
+    """(HORSE_PAIR, KLEG) arithmetically: attack geometry and leg square of
+    a horse at xs against ys. Leg is meaningful only where geom is True
+    (mirrors the KLEG table's zeros being unused outside HORSE_PAIR)."""
+    dr = ys // 9 - xs // 9
+    dc = ys % 9 - xs % 9
+    adr, adc = jnp.abs(dr), jnp.abs(dc)
+    geom = ((adr == 2) & (adc == 1)) | ((adr == 1) & (adc == 2))
+    leg = jnp.where(adr == 2, xs + (dr // 2) * 9, xs + dc // 2)
+    return geom, jnp.where(geom, leg, 0)
+
+
+def _pawn_atk(si: jax.Array, ps: jax.Array, ys: jax.Array) -> jax.Array:
+    """PAWN_ATK[1-si] arithmetically: does an ENEMY pawn at ps attack ys?
+    (si is MY side index [B]; enemy pawns advance -1 when I am red.)"""
+    fwd = jnp.where(si == 0, -1, 1)  # enemy pawn direction
+    pr, pc = ps // 9, ps % 9
+    yr, yc = ys // 9, ys % 9
+    crossed = jnp.where(si == 0, pr <= 4, pr >= 5)
+    return ((yr == pr + fwd) & (yc == pc)) | (
+        crossed & (yr == pr) & (jnp.abs(yc - pc) == 1)
+    )
+
+
 def _precompute_batch(board: jax.Array, side: jax.Array) -> dict:
     """Small per-board arrays feeding the kernel. board int8[B, 90]."""
     C = _const()
-    b = board.shape[0]
     f32 = jnp.float32
     s32 = side.astype(jnp.int32)
     si = (s32 < 0).astype(jnp.int32)                      # [B] 0 red / 1 black
@@ -148,7 +167,8 @@ def _precompute_batch(board: jax.Array, side: jax.Array) -> dict:
     is_my_king = bi == s32[:, None]
     has_king = jnp.any(is_my_king, axis=-1)
     oh_k = is_my_king.astype(f32)                         # king one-hot [B,90]
-    k_f = jnp.argmax(is_my_king, axis=-1).astype(f32)
+    k = jnp.argmax(is_my_king, axis=-1).astype(jnp.int32)
+    k_f = k.astype(f32)
 
     sq_iota = jnp.arange(NSQ, dtype=jnp.int32)
 
@@ -175,74 +195,67 @@ def _precompute_batch(board: jax.Array, side: jax.Array) -> dict:
     ray_s = jnp.concatenate([rk_i, cn_i, ek[:, None]], axis=1)   # [B, 5]
     ray_v = jnp.concatenate([rk_v, cn_v, ek_v[:, None]], axis=1)
 
-    iota_f = jnp.arange(NSQ, dtype=f32)
-    oh_ray = (ray_s[..., None] == jnp.arange(NSQ)).astype(f32)   # [B, 5, 90]
-    oh_hs = (hs_i[..., None] == jnp.arange(NSQ)).astype(f32)
-    oh_pw = (pw_i[..., None] == jnp.arange(NSQ)).astype(f32)
-
-    # per-king-square rows, all via one-hot contractions
-    btw_k = (oh_k @ C["BTW_K"]).reshape(b, NSQ, NSQ)      # BTW[x, k, z]
-    a_k = oh_k @ C["ALIGNED_SQ_F"]                        # ALIGNED_SQ[x, k]
-    hp_k = oh_k @ C["HORSE_PAIR_F"]                       # HORSE_PAIR[x, k]
-    kleg_k = oh_k @ C["KLEG_F"]                           # KLEG[x, k]
-    pak = jnp.where(                                      # PAWN_ATK[1-si, x, k]
-        (si == 0)[:, None],
-        oh_k @ C["PAWN_ATK_F"][1],
-        oh_k @ C["PAWN_ATK_F"][0],
-    )
-
-    btw = jnp.einsum("bsx,bxz->bsz", oh_ray, btw_k)       # [B, 5, 90]
+    # per-(attacker, king) geometry — ALL arithmetic (see helpers above);
+    # the former one-hot table contractions materialized a [B, 90, 90]
+    # between-table slice per board (~42% of total mask time at batch 8k)
+    btw = _btw_rows(ray_s, k[:, None])                    # [B, 5, 90]
     cnt0 = jnp.einsum("bsz,bz->bs", btw, occ_f)
-    ray_pre = ray_v & (jnp.einsum("bsx,bx->bs", oh_ray, a_k) > 0.5)
+    ray_pre = ray_v & _aligned(ray_s, k[:, None])
 
-    hs_geom = hs_v & (jnp.einsum("bhx,bx->bh", oh_hs, hp_k) > 0.5)
-    hs_leg = jnp.einsum("bhx,bx->bh", oh_hs, kleg_k)      # f32 square values
+    geom_hk, leg_hk = _horse_geom(hs_i, k[:, None])
+    hs_geom = hs_v & geom_hk
+    hs_leg = leg_hk.astype(f32)                           # f32 square values
+    iota_f = jnp.arange(NSQ, dtype=f32)
     oh_leg = (hs_leg[..., None] == iota_f).astype(f32)
     hs_locc = jnp.einsum("bhz,bz->bh", oh_leg, occ_f)
-    pw_pre = pw_v & (jnp.einsum("bpx,bx->bp", oh_pw, pak) > 0.5)
+    pw_pre = pw_v & _pawn_atk(si[:, None], pw_i, k[:, None])
 
     # ---- palace sub-pass: safety of the 9 king destinations -------------
+    # Between-counts contract the ARITHMETIC between-rows against
+    # (occ - king); geometry (alignment, horse legs, pawn reach) is the same
+    # row/col arithmetic as the main pass. NO gathers anywhere — measured
+    # take_along_axis on [B, 90] rows costs ~5 ms at batch 8k on v5e.
     ray_want = jnp.asarray([0.0, 0.0, 1.0, 1.0, 0.0], f32)
     ray_s_f = ray_s.astype(f32)
     hs_i_f = hs_i.astype(f32)
     pw_i_f = pw_i.astype(f32)
+    occ2 = occ_f - oh_k                                   # king vacates k
 
     def pal_side(sidx: int) -> jax.Array:
         palv = C["PALV"][sidx]                                    # [9] f32
-        z_occ = (occ_f @ C["BTW_PAL_Z"][sidx]).reshape(b, NSQ, 9)
-        z_k = (oh_k @ C["BTW_PAL_Z"][sidx]).reshape(b, NSQ, 9)
-        cntpp = jnp.einsum("bsx,bxj->bsj", oh_ray, z_occ - z_k)   # king left k
-        alg = jnp.einsum("bsx,xj->bsj", oh_ray, C["ALG_PAL"][sidx])
+        pal_i = palv.astype(jnp.int32)
+        btw_pal = _btw_rows(ray_s[:, :, None], pal_i[None, None, :])
+        cntpp = jnp.einsum("bsjz,bz->bsj", btw_pal, occ2)
+        alg = _aligned(ray_s[:, :, None], pal_i[None, None, :])
         up = jnp.any(
             ray_v[:, :, None]
-            & (alg > 0.5)
+            & alg
             & (palv[None, None, :] != ray_s_f[:, :, None])
             & (cntpp == ray_want[None, :, None]),
             axis=1,
         )
-        pgeom = jnp.einsum("bhx,xj->bhj", oh_hs, C["HP_PAL"][sidx])
-        pleg = jnp.einsum("bhx,xj->bhj", oh_hs, C["KLEG_PAL"][sidx])
+        pgeom, pleg_i = _horse_geom(hs_i[:, :, None], pal_i[None, None, :])
+        pleg = pleg_i.astype(f32)
         oh_pleg = (pleg[..., None] == iota_f).astype(f32)
+        locc_leg = jnp.einsum("bhjz,bz->bhj", oh_pleg, occ_f)
         ploccp = jnp.where(
             pleg == palv[None, None, :],
             1.0,
-            jnp.where(
-                pleg == k_f[:, None, None],
-                0.0,
-                jnp.einsum("bhjz,bz->bhj", oh_pleg, occ_f),
-            ),
+            jnp.where(pleg == k_f[:, None, None], 0.0, locc_leg),
         )
         up |= jnp.any(
             hs_v[:, :, None]
-            & (pgeom > 0.5)
+            & pgeom
             & (palv[None, None, :] != hs_i_f[:, :, None])
             & (ploccp == 0.0),
             axis=1,
         )
-        ppa = jnp.einsum("bpx,xj->bpj", oh_pw, C["PA_PAL"][sidx])
+        ppa = _pawn_atk(
+            si[:, None, None], pw_i[:, :, None], pal_i[None, None, :]
+        )
         up |= jnp.any(
             pw_v[:, :, None]
-            & (ppa > 0.5)
+            & ppa
             & (palv[None, None, :] != pw_i_f[:, :, None]),
             axis=1,
         )
