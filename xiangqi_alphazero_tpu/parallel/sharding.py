@@ -99,18 +99,62 @@ def make_sharded_eval(net, batch: int, settings: EvalSettings, mesh: Mesh):
 
 # --------------------------------------------------------------- multi-host
 
-def distributed_init(**kwargs) -> None:
-    """Multi-host bring-up (controller-less): call once per host before any
-    backend use. Safe no-op when already initialized."""
-    try:
-        jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        pass  # already initialized
+# Re-export: the REAL entry point lives in the leaf module
+# xiangqi_alphazero_tpu.distributed (importing THIS module already touches
+# the backend via the train/engine imports above, which is too late for
+# jax.distributed.initialize — the train CLI imports the leaf directly).
+from ..distributed import distributed_init  # noqa: E402, F401
+
+
+def is_multihost() -> bool:
+    return jax.process_count() > 1
+
+
+def make_global_mesh(axis_name: str = "data") -> Mesh:
+    """Mesh over ALL global devices (every process's chips); identical on
+    every host. ICI within a host's slice, DCN across hosts."""
+    return Mesh(np.asarray(jax.devices()), (axis_name,))
+
+
+def put_replicated(mesh: Mesh, tree):
+    """Host values (identical on every process) -> replicated global device
+    arrays. Under multi-controller jit, plain numpy/single-device inputs are
+    rejected, and device_put to a non-addressable sharding is unsupported —
+    so each process places the value on its OWN devices and the global
+    array is assembled from the per-process local buffers (works for typed
+    PRNG key arrays too)."""
+    s = replicated(mesh)
+    import jax.numpy as jnp
+
+    def put(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x  # already a global array
+        bufs = [jax.device_put(x, d) for d in mesh.local_devices]
+        return jax.make_array_from_single_device_arrays(jnp.shape(x), s, bufs)
+
+    return jax.tree.map(put, tree)
+
+
+def global_sharded(mesh: Mesh, tree, axis: int = 0):
+    """GLOBAL host values (identical on every process) -> jax.Arrays sharded
+    on the mesh batch axis. Each process materializes only its addressable
+    shards (jax.make_array_from_callback)."""
+    names = [None] * 32
+    names[axis] = mesh.axis_names[0]
+
+    def put(x):
+        x = np.asarray(x)
+        sh = NamedSharding(mesh, P(*names[: max(x.ndim, 1)]))
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree)
 
 
 def host_local_batch(mesh: Mesh, per_host_arrays):
     """Assemble per-host numpy shards into global device arrays sharded on
-    the mesh's batch axis (DCN boundary between hosts, ICI within)."""
+    the mesh's batch axis (DCN boundary between hosts, ICI within). Each
+    host passes ONLY its own rows; globally the batch is the concatenation
+    in process order."""
     spec = P(mesh.axis_names[0])
     return jax.tree.map(
         lambda x: jax.make_array_from_process_local_data(

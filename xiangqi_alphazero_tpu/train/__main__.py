@@ -1,29 +1,68 @@
 """CLI entry: python -m xiangqi_alphazero_tpu.train --mode quick|standard|full|tpu
 
-Mirrors the reference CLI (training/train.py:707-764)."""
+Mirrors the reference CLI (training/train.py:707-764), plus multi-host
+bring-up: run the SAME command on every host with its own --process-id
+(controller-less SPMD; replaces the reference's process-pool + Unix-socket
+IPC layer, reference: training/parallel_selfplay.py:337-474,
+training/inference_server.py).
+
+Order matters: --platform / jax.distributed.initialize must happen BEFORE
+any module that touches the backend is imported (engine.env materializes
+device constants at import), so the trainer import is deferred.
+"""
 
 import logging
 import os
 import sys
 
 from .config import build_argparser, config_from_args
-from .trainer import AlphaZeroTrainer
 
 
 def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    cfg, resume = config_from_args(args)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if cfg.num_processes > 1:
+        from ..distributed import distributed_init
+
+        distributed_init(
+            coordinator_address=cfg.coordinator_address,
+            num_processes=cfg.num_processes,
+            process_id=cfg.process_id,
+        )
+        # Establish the collective context while processes are still in
+        # lockstep (couple of seconds of skew at most). Heavy imports and
+        # first compiles below can skew processes by minutes, and the
+        # context rendezvous has a ~30s deadline (gloo GetKeyValue).
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("xaz_cli_start")
+
     from ..utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    args = build_argparser().parse_args(argv)
-    cfg, resume = config_from_args(args)
+
+    from .trainer import AlphaZeroTrainer
+
+    is_main = jax.process_index() == 0
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+    handlers = [logging.StreamHandler()]
+    if is_main:  # one log-file writer per shared checkpoint dir
+        handlers.append(
+            logging.FileHandler(os.path.join(cfg.checkpoint_dir, "training.log"))
+        )
     logging.basicConfig(
         level=logging.INFO,
-        format="%(asctime)s [%(levelname)s] %(message)s",
-        handlers=[
-            logging.StreamHandler(),
-            logging.FileHandler(os.path.join(cfg.checkpoint_dir, "training.log")),
-        ],
+        format=(
+            "%(asctime)s [%(levelname)s] %(message)s"
+            if cfg.num_processes == 1
+            else f"%(asctime)s [%(levelname)s] [p{cfg.process_id}] %(message)s"
+        ),
+        handlers=handlers,
         # jax configures root logging at import; without force the config
         # above is silently ignored
         force=True,

@@ -24,6 +24,9 @@ def _to_host(tree):
 
 
 def save_checkpoint(ckpt_dir: str, iteration: int, payload: Dict[str, Any]) -> str:
+    """Multi-host: EVERY process must call this (orbax coordinates via
+    jax.distributed barriers — the primary writes the replicated/host data,
+    the others participate in the sync)."""
     path = os.path.abspath(os.path.join(ckpt_dir, f"checkpoint_iter{iteration}"))
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, _to_host(payload), force=True)
@@ -44,8 +47,9 @@ def save_best_model(
             },
             force=True,
         )
-    with open(os.path.join(ckpt_dir, "best_model_config.json"), "w") as f:
-        json.dump(model_config, f)
+    if jax.process_index() == 0:  # plain file: one writer
+        with open(os.path.join(ckpt_dir, "best_model_config.json"), "w") as f:
+            json.dump(model_config, f)
     return path
 
 

@@ -23,6 +23,9 @@ class TrainingConfig:
     num_simulations: int = 200
     c_puct: float = 1.5
     temperature_threshold: int = 20  # plies at temp 1.0, then 0.3
+    temperature_schedule: str = "binary"  # "binary" (reference parallel
+    #   workers: 1.0 then 0.3) | "anneal" (reference serial loop: linear
+    #   1.0 -> 0.1 over 10 plies, train.py:250-255)
     max_children: int = 128
 
     # self-play
@@ -59,9 +62,17 @@ class TrainingConfig:
     # TPU execution
     dtype: str = "bfloat16"          # network compute dtype
     mesh_axis: str = "data"          # self-play + learner data-parallel axis
-    mesh_mode: str = "auto"          # "auto": shard over all local devices
-    #   when batch axes divide the device count; "off": single-device jit
+    mesh_mode: str = "auto"          # "auto": shard over all global devices
+    #   (batch axes padded up to device-count divisibility); "off":
+    #   single-device jit
     seed: int = 0
+
+    # multi-host (controller-less SPMD over DCN; every host runs this same
+    # CLI with its own --process-id — replaces the reference's process-pool
+    # + Unix-socket IPC layer, reference: training/inference_server.py)
+    coordinator_address: Optional[str] = None  # "host:port" of process 0
+    num_processes: int = 1
+    process_id: int = 0
 
     def lr_at(self, iteration: int) -> float:
         """MultiStepLR semantics (reference: train.py:196-200, stepped once
@@ -169,6 +180,22 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int)
     p.add_argument("--dtype", choices=["float32", "bfloat16"])
     p.add_argument("--max-game-length", type=int)
+    p.add_argument("--batch-size", type=int)
+    p.add_argument("--eval-games", type=int)
+    p.add_argument("--eval-interval", type=int)
+    p.add_argument("--save-interval", type=int)
+    p.add_argument("--min-buffer", type=int)
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--temp-schedule", choices=["binary", "anneal"])
+    p.add_argument("--mesh-mode", choices=["auto", "off"])
+    # multi-host bring-up (jax.distributed): run the same command on every
+    # host with its own --process-id
+    p.add_argument("--coordinator", type=str,
+                   help="host:port of process 0's coordinator service")
+    p.add_argument("--num-processes", type=int)
+    p.add_argument("--process-id", type=int)
+    p.add_argument("--platform", type=str,
+                   help="force a jax platform (e.g. cpu) before backend init")
     return p
 
 
@@ -184,6 +211,17 @@ def config_from_args(args: argparse.Namespace) -> Tuple[TrainingConfig, Optional
         "seed": "seed",
         "dtype": "dtype",
         "max_game_length": "max_game_length",
+        "batch_size": "batch_size",
+        "eval_games": "eval_games",
+        "eval_interval": "eval_interval",
+        "save_interval": "save_interval",
+        "min_buffer": "min_buffer_size",
+        "epochs": "num_epochs",
+        "temp_schedule": "temperature_schedule",
+        "mesh_mode": "mesh_mode",
+        "coordinator": "coordinator_address",
+        "num_processes": "num_processes",
+        "process_id": "process_id",
     }
     for arg_name, field in overrides.items():
         v = getattr(args, arg_name, None)

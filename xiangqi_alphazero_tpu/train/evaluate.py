@@ -25,6 +25,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as PSpec
 
 from ..engine import env as E
 from ..search import mcts as M
@@ -153,12 +154,27 @@ def make_hosted_eval(
     plies_per_segment: int = 16,
 ):
     """Host-driven eval: returns ``run(vars_new, vars_old, rng) -> EvalOut``
-    with bounded device programs (carry donated between segments)."""
+    with bounded device programs (carry donated between segments).
+
+    Multi-host: same lockstep-SPMD posture as make_hosted_selfplay —
+    liveness check and final outputs replicated so every host reads them."""
     assert batch % 2 == 0, "eval batch must be even (color halves)"
     from ..models import policy_logits_fn
 
+    multihost = jax.process_count() > 1
+    repl = (
+        NamedSharding(batch_sharding.mesh, PSpec())
+        if (multihost and batch_sharding is not None)
+        else None
+    )
+    if multihost and repl is None:
+        raise ValueError("multi-host hosted eval requires batch_sharding")
+
     init_j = jax.jit(
         functools.partial(_init_carry, batch, batch_sharding=batch_sharding)
+    )
+    alive_j = jax.jit(
+        lambda c: jnp.any(~c.states.done), out_shardings=repl
     )
 
     @functools.partial(jax.jit, donate_argnums=(2,))
@@ -177,12 +193,16 @@ def make_hosted_eval(
 
         return jax.lax.while_loop(cond, body, carry)
 
-    fin_j = jax.jit(functools.partial(_finalize, batch=batch))
+    fin_j = jax.jit(functools.partial(_finalize, batch=batch), out_shardings=repl)
 
     def run(vars_new, vars_old, rng) -> EvalOut:
+        if repl is not None:
+            from ..parallel.sharding import put_replicated
+
+            rng = put_replicated(batch_sharding.mesh, rng)
         carry = init_j(rng)
         for _ in range(-(-s.max_game_length // plies_per_segment)):
-            if not bool(np.asarray(jnp.any(~carry.states.done))):
+            if not bool(np.asarray(alive_j(carry))):
                 break
             carry = segment(vars_new, vars_old, carry)
         return fin_j(carry)

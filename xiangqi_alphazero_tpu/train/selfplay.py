@@ -39,6 +39,7 @@ from typing import Callable, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as PSpec
 
 from ..engine import env as E
 from ..search import mcts as M
@@ -52,6 +53,11 @@ class SelfPlaySettings(NamedTuple):
     max_children: int = 128
     max_game_length: int = 200
     temperature_threshold: int = 15
+    # "binary": 1.0 below the threshold then 0.3 (reference parallel
+    # workers, parallel_selfplay.py:89-92); "anneal": linear 1.0 -> 0.1
+    # over the 10 plies after the threshold (reference serial loop,
+    # train.py:250-255)
+    temperature_schedule: str = "binary"
     random_opening_moves: int = 4
     enable_resign: bool = True
     resign_threshold: float = -0.85
@@ -85,6 +91,22 @@ class SPCarry(NamedTuple):
     pi_actions: jax.Array
     pi_probs: jax.Array
     rec: jax.Array
+
+
+def temperature_at(ply: jax.Array, s: SelfPlaySettings) -> jax.Array:
+    """Per-game sampling temperature at ``ply`` (f32, works on arrays).
+
+    binary: reference parallel_selfplay.py:89-92; anneal: reference
+    train.py:250-255 (1.0, then 1.0 - 0.9*(ply-thr)/10, floor 0.1)."""
+    thr = s.temperature_threshold
+    if s.temperature_schedule == "anneal":
+        frac = (ply - thr).astype(jnp.float32) / 10.0
+        return jnp.where(
+            ply < thr,
+            1.0,
+            jnp.where(ply < thr + 10, 1.0 - 0.9 * frac, 0.1),
+        ).astype(jnp.float32)
+    return jnp.where(ply < thr, 1.0, 0.3).astype(jnp.float32)
 
 
 def _uniform_legal_action(legal: jax.Array, rng: jax.Array) -> jax.Array:
@@ -180,9 +202,7 @@ def _make_body(
             eval_fn, c.states, k_search, mcfg, add_noise=True,
             logits_eval=logits_eval,
         )
-        temp = jnp.where(
-            c.states.ply < s.temperature_threshold, 1.0, 0.3
-        ).astype(jnp.float32)
+        temp = temperature_at(c.states.ply, s)
 
         pi = M.action_probs_slots(res, temp)
         boards = c.boards.at[c.t].set(c.states.board)
@@ -307,11 +327,30 @@ def make_hosted_selfplay(
     Each device program advances at most ``plies_per_segment`` plies (its
     internal while_loop still stops early when every game is finished); the
     carry stays on device and is donated between segments. ``variables`` are
-    traced arguments, so weight updates never recompile."""
+    traced arguments, so weight updates never recompile.
+
+    Multi-host (jax.process_count() > 1, batch_sharding over a global mesh):
+    every process runs this same host loop in lockstep (SPMD multi-
+    controller). The liveness check and the final outputs are forced to
+    replicated shardings so every host can read them as plain numpy — the
+    sample tensors are small (int8 boards + sparse pi slots), so the
+    one-per-iteration all-gather over DCN is noise."""
     from ..models import policy_logits_fn
+
+    multihost = jax.process_count() > 1
+    repl = (
+        NamedSharding(batch_sharding.mesh, PSpec())
+        if (multihost and batch_sharding is not None)
+        else None
+    )
+    if multihost and repl is None:
+        raise ValueError("multi-host hosted self-play requires batch_sharding")
 
     init_j = jax.jit(
         functools.partial(_init_carry, batch, s=s, batch_sharding=batch_sharding)
+    )
+    alive_j = jax.jit(
+        lambda c: jnp.any(_alive(c)), out_shardings=repl
     )
 
     @functools.partial(jax.jit, donate_argnums=(1,))
@@ -328,12 +367,16 @@ def make_hosted_selfplay(
 
         return jax.lax.while_loop(cond, body, carry)
 
-    fin_j = jax.jit(functools.partial(_finalize, s=s))
+    fin_j = jax.jit(functools.partial(_finalize, s=s), out_shardings=repl)
 
     def run(variables, rng) -> SelfPlayOut:
+        if repl is not None:
+            from ..parallel.sharding import put_replicated
+
+            rng = put_replicated(batch_sharding.mesh, rng)
         carry = init_j(rng)
         for _ in range(-(-s.max_game_length // plies_per_segment)):
-            if not bool(np.asarray(jnp.any(_alive(carry)))):
+            if not bool(np.asarray(alive_j(carry))):
                 break
             carry = segment(variables, carry)
         return fin_j(carry)

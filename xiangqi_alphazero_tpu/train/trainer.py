@@ -41,6 +41,10 @@ from .selfplay import SelfPlaySettings, make_hosted_selfplay
 
 logger = logging.getLogger("xiangqi_az_tpu")
 
+# Deep-copy a param tree without aliasing (donation safety). Must run under
+# jit: eager jnp.copy on a multi-host global array is not addressable.
+_copy_tree = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+
 
 class AlphaZeroTrainer:
     def __init__(self, cfg: TrainingConfig):
@@ -54,8 +58,8 @@ class AlphaZeroTrainer:
         )
         self.params = variables["params"]
         self.batch_stats = variables["batch_stats"]
-        self.best_params = jax.tree.map(jnp.copy, self.params)
-        self.best_stats = jax.tree.map(jnp.copy, self.batch_stats)
+        self.best_params = _copy_tree(self.params)
+        self.best_stats = _copy_tree(self.batch_stats)
 
         self.tx = make_optimizer(cfg.learning_rate, cfg.weight_decay)
         self.opt_state = self.tx.init(self.params)
@@ -73,6 +77,7 @@ class AlphaZeroTrainer:
             max_children=cfg.max_children,
             max_game_length=cfg.max_game_length,
             temperature_threshold=cfg.temperature_threshold,
+            temperature_schedule=cfg.temperature_schedule,
             random_opening_moves=cfg.random_opening_moves,
             enable_resign=cfg.enable_resign,
             resign_threshold=cfg.resign_threshold,
@@ -85,34 +90,58 @@ class AlphaZeroTrainer:
             max_game_length=cfg.max_game_length,
         )
 
-        # Auto data-parallel over all local devices when every batch axis
-        # divides the device count; single-device jit otherwise.
+        # Auto data-parallel over ALL global devices (every process's chips
+        # under multi-controller SPMD); batch axes that don't divide the
+        # device count are PADDED up to divisibility — pad games are played
+        # and dropped on the host, pad train columns carry zero weight.
+        from ..parallel import sharding as SH
+
         self.mesh = None
         n_dev = len(jax.devices())
-        if (
-            cfg.mesh_mode == "auto"
-            and n_dev > 1
-            and cfg.num_games_per_iter % n_dev == 0
-            and cfg.eval_games % n_dev == 0
-            and cfg.batch_size % n_dev == 0
-        ):
-            from ..parallel import sharding as SH
-
+        n_proc = jax.process_count()
+        self.is_main = jax.process_index() == 0
+        if cfg.mesh_mode == "auto" and (n_dev > 1 or n_proc > 1):
             self.mesh = SH.make_mesh(axis_name=cfg.mesh_axis)
-            logger.info(
-                "data-parallel over %d devices (%s)", n_dev, cfg.mesh_axis
-            )
-        from ..parallel.sharding import batch_sharded as _bs
+            if self.is_main:
+                logger.info(
+                    "data-parallel over %d devices / %d processes (%s)",
+                    n_dev, n_proc, cfg.mesh_axis,
+                )
+        # multi-host: every jit input must be a global jax.Array; host state
+        # (replay buffer, np rng) is replicated by construction — every
+        # process computes identical values, so replicated device_put of
+        # host values is the whole data plane (see parallel/sharding.py)
+        self._repl = (
+            SH.replicated(self.mesh)
+            if (self.mesh is not None and n_proc > 1)
+            else None
+        )
+        if self._repl is not None:
+            # Establish the cross-process collective context NOW with a tiny
+            # barrier program: the context rendezvous has a short timeout,
+            # and the first heavy program's compile time can skew processes
+            # past it (observed with gloo's 30s GetKeyValue deadline).
+            from jax.experimental import multihost_utils
 
-        sharding = _bs(self.mesh) if self.mesh is not None else None
+            multihost_utils.sync_global_devices("xaz_trainer_init")
+
+        def _pad_to(n: int, d: int) -> int:
+            return -(-n // d) * d
+
+        align = n_dev if self.mesh is not None else 1
+        self._sp_batch = _pad_to(cfg.num_games_per_iter, align)
+        self._eval_batch = _pad_to(cfg.eval_games, align * 2 if align % 2 else align)
+        self._train_cols = _pad_to(cfg.batch_size, align)
+
+        sharding = SH.batch_sharded(self.mesh) if self.mesh is not None else None
         # hosted drivers: bounded device programs (segments), carry stays
         # on device — long single programs exceed accelerator wall clocks
         self._selfplay_run = make_hosted_selfplay(
-            self.net, cfg.num_games_per_iter, self.sp_settings,
+            self.net, self._sp_batch, self.sp_settings,
             batch_sharding=sharding,
         )
         self._eval_run = make_hosted_eval(
-            self.net, cfg.eval_games, self.eval_settings,
+            self.net, self._eval_batch, self.eval_settings,
             batch_sharding=sharding,
         )
         self._train_epochs = make_train_epochs(self.net, self.tx, sharding)
@@ -130,11 +159,37 @@ class AlphaZeroTrainer:
         self.rng, k = jax.random.split(self.rng)
         return k
 
+    def _dev(self, tree):
+        """Host values -> jit inputs. Multi-host: replicated global arrays
+        (every process holds identical host values); single-host: as-is."""
+        if self._repl is None:
+            return tree
+        from ..parallel.sharding import put_replicated
+
+        return jax.tree.map(
+            lambda x: x
+            if (isinstance(x, jax.Array) and not x.is_fully_addressable)
+            else put_replicated(self.mesh, x),
+            tree,
+        )
+
     def self_play(self) -> Dict:
         t0 = time.time()
         best_vars = {"params": self.best_params, "batch_stats": self.best_stats}
-        out = self._selfplay_run(best_vars, self._next_key())
+        out = self._selfplay_run(self._dev(best_vars), self._dev(self._next_key()))
         out = jax.tree.map(np.asarray, out)
+        g = self.cfg.num_games_per_iter  # drop mesh-padding games
+        out = out._replace(
+            boards=out.boards[:, :g],
+            sides=out.sides[:, :g],
+            pi_actions=out.pi_actions[:, :g],
+            pi_probs=out.pi_probs[:, :g],
+            values=out.values[:, :g],
+            rec=out.rec[:, :g],
+            winners=out.winners[:g],
+            plies=out.plies[:g],
+            total_moves=out.total_moves[:g],
+        )
         rec = out.rec.reshape(-1)
         n_new = self.buffer.add_games(
             out.boards.reshape(-1, 90)[rec],
@@ -174,15 +229,21 @@ class AlphaZeroTrainer:
         perm, wmask, n_batches = self.buffer.epoch_plan(
             self.cfg.batch_size, self.cfg.num_epochs, self.np_rng
         )
-        bufs = tuple(jnp.asarray(x) for x in self.buffer.arrays())
+        if self._train_cols > self.cfg.batch_size:
+            # mesh-divisibility padding: extra columns carry zero weight, so
+            # the update math is identical to the unpadded batch
+            pad = self._train_cols - self.cfg.batch_size
+            perm = np.pad(perm, ((0, 0), (0, pad)))
+            wmask = np.pad(wmask, ((0, 0), (0, pad)))
+        bufs = self._dev(tuple(jnp.asarray(x) for x in self.buffer.arrays()))
         (
             self.params,
             self.batch_stats,
             self.opt_state,
             losses,
         ) = self._train_epochs(
-            self.params, self.batch_stats, self.opt_state,
-            *bufs, jnp.asarray(perm), jnp.asarray(wmask),
+            *self._dev((self.params, self.batch_stats, self.opt_state)),
+            *bufs, *self._dev((jnp.asarray(perm), jnp.asarray(wmask))),
         )
         losses = np.asarray(losses)[:n_batches]
         tot_p = float(losses[:, 0].sum())
@@ -202,22 +263,33 @@ class AlphaZeroTrainer:
         t0 = time.time()
         vars_new = {"params": self.params, "batch_stats": self.batch_stats}
         vars_old = {"params": self.best_params, "batch_stats": self.best_stats}
-        out: EvalOut = self._eval_run(vars_new, vars_old, self._next_key())
-        new_wins, old_wins, draws = (
-            int(out.new_wins),
-            int(out.old_wins),
-            int(out.draws),
+        out: EvalOut = self._eval_run(
+            self._dev(vars_new), self._dev(vars_old), self._dev(self._next_key())
         )
+        # count on host over the UNPADDED games only: the candidate is red in
+        # the first ceil(G/2) games of the red half, black in the first
+        # floor(G/2) of the black half (mesh-padding games are discarded)
+        winners = np.asarray(out.winners)
+        new_is_red = np.asarray(out.new_is_red)
+        g = self.cfg.eval_games
+        half = self._eval_batch // 2
+        sel = np.zeros(self._eval_batch, bool)
+        sel[: (g + 1) // 2] = True
+        sel[half : half + g // 2] = True
+        w, red = winners[sel], new_is_red[sel]
+        new_wins = int(((w == 1) & red).sum() + ((w == -1) & ~red).sum())
+        old_wins = int(((w == -1) & red).sum() + ((w == 1) & ~red).sum())
+        draws = int((w == 0).sum())
         win_rate = (new_wins + 0.5 * draws) / max(self.cfg.eval_games, 1)
         updated = win_rate >= self.cfg.eval_win_rate
         if updated:
-            self.best_params = jax.tree.map(jnp.copy, self.params)
-            self.best_stats = jax.tree.map(jnp.copy, self.batch_stats)
+            self.best_params = _copy_tree(self.params)
+            self.best_stats = _copy_tree(self.batch_stats)
             logger.info(">>> best model updated (win_rate %.2f) <<<", win_rate)
         else:
             # candidate failed the gate: reset to incumbent (train.py:532)
-            self.params = jax.tree.map(jnp.copy, self.best_params)
-            self.batch_stats = jax.tree.map(jnp.copy, self.best_stats)
+            self.params = _copy_tree(self.best_params)
+            self.batch_stats = _copy_tree(self.best_stats)
             logger.info("candidate rejected (win_rate %.2f)", win_rate)
         return {
             "new_wins": new_wins,
@@ -342,10 +414,11 @@ class AlphaZeroTrainer:
             "evaluation": eval_stats,
         }
         self.training_stats.append(stats)
-        with open(
-            os.path.join(self.cfg.checkpoint_dir, "training_stats.json"), "w"
-        ) as f:
-            json.dump(self.training_stats, f, indent=2, default=str)
+        if self.is_main:  # one writer per shared checkpoint dir
+            with open(
+                os.path.join(self.cfg.checkpoint_dir, "training_stats.json"), "w"
+            ) as f:
+                json.dump(self.training_stats, f, indent=2, default=str)
         logger.info("iteration %d done in %.1fs", self.iteration, stats["time"])
         return stats
 
