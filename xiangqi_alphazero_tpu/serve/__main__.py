@@ -31,6 +31,10 @@ def main(argv=None) -> int:
         default="torch",
     )
     ep.add_argument("--output", required=True)
+    ep.add_argument(
+        "--no-verify", action="store_true",
+        help="skip the numeric round-trip check of the exported artifact",
+    )
 
     args = p.parse_args(argv)
 
@@ -45,6 +49,7 @@ def main(argv=None) -> int:
         export_onnx,
         export_torch_checkpoint,
         export_torchscript,
+        verify_export,
     )
     from .predictor import Predictor
 
@@ -64,6 +69,17 @@ def main(argv=None) -> int:
     else:
         export_onnx(args.output, params, stats, mc)
     print(f"exported {args.format} -> {args.output}")
+    if not args.no_verify:
+        try:
+            diffs = verify_export(args.format, args.output, params, stats, mc)
+        except RuntimeError as e:  # e.g. onnxruntime not installed
+            print(f"verification skipped: {e}")
+        else:
+            print(
+                "verified against the JAX forward: "
+                f"max|dlogits|={diffs['max_abs_dlogits']:.2e} "
+                f"max|dvalue|={diffs['max_abs_dvalue']:.2e}"
+            )
     return 0
 
 

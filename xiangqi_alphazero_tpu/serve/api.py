@@ -177,9 +177,13 @@ def make_handler(service: GameService):
 
         def do_GET(self):  # noqa: N802
             if self.path == "/api/models":
-                self._send(*service.models())
+                with service.lock:  # GET APIs count in the stats too
+                    service.requests += 1
+                    self._send(*service.models())
             elif self.path == "/api/game_state":
-                self._send(*service.game_state())
+                with service.lock:
+                    service.requests += 1
+                    self._send(*service.game_state())
             elif self.path == "/" or (
                 "/" + os.path.basename(self.path) == self.path
                 and self.path.endswith((".html", ".js", ".css"))

@@ -207,6 +207,96 @@ def export_torchscript(
     return path
 
 
+def _jax_reference_forward(params, batch_stats, model_config: Dict, x_nchw):
+    """f32 JAX forward of the SAME weights (the export ground truth)."""
+    import jax.numpy as jnp
+
+    from ..models import XiangqiNet
+
+    net = XiangqiNet(
+        channels=int(model_config["num_channels"]),
+        blocks=int(model_config["num_res_blocks"]),
+        dtype=jnp.float32,
+    )
+    x = jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1)))  # NCHW -> NHWC
+    logits, value = jax.jit(
+        lambda v, x: net.apply(v, x, train=False)
+    )({"params": params, "batch_stats": batch_stats}, x)
+    return np.asarray(logits), np.asarray(value).reshape(-1)
+
+
+def verify_export(
+    fmt: str, path: str, params, batch_stats, model_config: Dict,
+    atol: float = 2e-3,
+) -> Dict[str, float]:
+    """Numerically verify an exported artifact against the JAX forward on
+    fixed random inputs (reference: export_model.py:57-67 smoke-verifies
+    its ONNX with onnxruntime). Loads the artifact BACK from disk and runs
+    it; raises AssertionError on divergence. Returns the max abs diffs.
+
+    fmt: 'torch' | 'torchscript' | 'onnx' | 'npz'. ONNX needs onnxruntime
+    (not baked into this image) — raises RuntimeError if unavailable.
+    """
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 15, 10, 9)).astype(np.float32)
+    want_logits, want_value = _jax_reference_forward(
+        params, batch_stats, model_config, x
+    )
+
+    if fmt == "npz":
+        import jax.numpy as jnp
+
+        data = np.load(path)
+        tree: Dict[str, object] = {"params": {}, "batch_stats": {}}
+        for key in data.files:
+            node = tree
+            parts = key.split("/")
+            for part in parts[:-1]:
+                node = node.setdefault(part, {})
+            node[parts[-1]] = jnp.asarray(data[key])
+        got_logits, got_value = _jax_reference_forward(
+            tree["params"], tree["batch_stats"], model_config, x
+        )
+    elif fmt in ("torch", "torchscript"):
+        import torch
+
+        if fmt == "torch":
+            ck = torch.load(path, map_location="cpu", weights_only=True)
+            net = build_torch_net(
+                int(ck["config"]["num_channels"]),
+                int(ck["config"]["num_res_blocks"]),
+            )
+            net.load_state_dict(ck["model_state_dict"])
+            net.eval()
+        else:
+            net = torch.jit.load(path, map_location="cpu")
+            net.eval()
+        with torch.no_grad():
+            pol, val = net(torch.from_numpy(x))
+        got_logits = pol.numpy()
+        got_value = val.numpy().reshape(-1)
+    elif fmt == "onnx":
+        try:
+            import onnxruntime as ort
+        except ImportError as e:
+            raise RuntimeError(
+                "onnx verification needs onnxruntime (not installed)"
+            ) from e
+        sess = ort.InferenceSession(path, providers=["CPUExecutionProvider"])
+        pol, val = sess.run(["policy", "value"], {"state": x})
+        got_logits, got_value = pol, np.asarray(val).reshape(-1)
+    else:
+        raise ValueError(f"unknown export format {fmt!r}")
+
+    diff_logits = float(np.max(np.abs(got_logits - want_logits)))
+    diff_value = float(np.max(np.abs(got_value - want_value)))
+    assert diff_logits <= atol and diff_value <= atol, (
+        f"{fmt} export diverges from the JAX forward: "
+        f"max|dlogits|={diff_logits:.2e} max|dvalue|={diff_value:.2e}"
+    )
+    return {"max_abs_dlogits": diff_logits, "max_abs_dvalue": diff_value}
+
+
 def export_onnx(path: str, params, batch_stats, model_config: Dict) -> str:
     """ONNX export (reference: export_model.py:35-49): opset 13, dynamic
     batch axis, input 'state', outputs 'policy'/'value'."""
