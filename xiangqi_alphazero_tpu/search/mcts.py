@@ -15,8 +15,11 @@ indexing is cheap; per-lane *vectors* of indices and per-batch scatters are
 two orders of magnitude slower):
 
 - Edge statistics (visit count N, value sum W) live at the PARENT row,
-  stacked as ``ew[B, N, 2, K]`` — the select loop reads one contiguous row
-  per step. W is the sum of backed-up values from the parent's perspective
+  plane-major as ``ew[B, 2, N, K]`` — the select loop reads one contiguous
+  [K] row per plane per step, and the plane-major axis order matches the
+  layout XLA's convolution emitter picks for the backup contraction (the
+  stats-plane-minor order cost two whole-array layout copies per sim). W
+  is the sum of backed-up values from the parent's perspective
   (reference: mcts.py:21-73).
 - Node allocation is deterministic: simulation i can only ever create node
   i+1, so expansion writes are uniform dynamic-update-slices on axis 1 —
@@ -79,7 +82,12 @@ class Tree:
     actions: jax.Array      # i32[B, N, K], -1 = empty slot
     child: jax.Array        # i32[B, N, K], 0 = not yet created
     priors: jax.Array       # f32[B, N, K]
-    ew: jax.Array           # f32[B, N, 2, K]: [:, :, 0] = N, [:, :, 1] = W
+    # Edge stats, plane-major: [:, 0] = visit counts, [:, 1] = value sums.
+    # The [B, 2, N, K] axis order matches the layout XLA's convolution
+    # emitter picks for the backup contraction output — with the stats
+    # plane between B and N ([B, N, 2, K]), every simulation paid TWO
+    # whole-array layout-conversion copies (~22% of standard move time).
+    ew: jax.Array           # f32[B, 2, N, K]
     root_n: jax.Array       # i32[B]
 
 
@@ -192,7 +200,7 @@ def init_tree(batch: int, cfg: MCTSConfig) -> Tree:
         actions=jnp.full((batch, n, k), -1, jnp.int32),
         child=jnp.zeros((batch, n, k), jnp.int32),
         priors=jnp.zeros((batch, n, k), jnp.float32),
-        ew=jnp.zeros((batch, n, 2, k), jnp.float32),
+        ew=jnp.zeros((batch, 2, n, k), jnp.float32),
         root_n=jnp.zeros((batch,), jnp.int32),
     )
 
@@ -254,10 +262,10 @@ def _descend_one(tree: Tree, root: _Core, c_puct: float, max_depth: int):
         return ~c.stop
 
     def body(c: Carry) -> Carry:
-        ew = tree.ew[c.cur]          # [2, K] contiguous row
+        e_n = tree.ew[0, c.cur]      # [K] row per plane (plane-major ew)
+        e_w = tree.ew[1, c.cur]
         pr = tree.priors[c.cur]
         acts = tree.actions[c.cur]
-        e_n, e_w = ew[0], ew[1]
         valid = acts >= 0
         q = jnp.where(e_n > 0, e_w / jnp.maximum(e_n, 1.0), 0.0)
         u = c_puct * pr * jnp.sqrt(c.node_n) / (1.0 + e_n)
@@ -452,23 +460,34 @@ def run_mcts(
         # edge at depth d leads to the node at depth d+1; the deepest
         # updated edge is d = depth-1 and carries v, signs alternate upward
         def backup_delta(pnode_d, pslot_d, di):
-            """[B, N, 2, K] stat delta from a path prefix of static length
-            len(di). One contraction producing the delta directly (t=2
-            plane: visit increment, weighted value) — a separate dn/dw +
-            stack costs an extra layout copy of the whole ew array per
-            sim."""
+            """[B, 2, N, K] stat delta from a path prefix of static length
+            len(di), as ONE bf16 one-hot contraction with the backed-up
+            value factored out.
+
+            Exactness: a descent path never revisits an edge, so every
+            output element of the contraction has AT MOST ONE nonzero
+            term — there is no accumulation, hence no rounding. The
+            operands can therefore be bf16 in {-1, 0, 1} (exact) and the
+            value applied afterwards as one multiply (fl(v * +-1) = +-v,
+            exact), halving the HBM traffic of the f32 formulation that
+            carried +-v inside the contraction operand."""
             validp = di[None, :] < depth[:, None]              # [B, D]
             ohn = (
                 (pnode_d[:, :, None] == node_iota) & validp[:, :, None]
-            ).astype(jnp.float32)                              # [B, D, N]
-            ohk = (pslot_d[:, :, None] == slot_iota).astype(jnp.float32)
+            ).astype(jnp.bfloat16)                             # [B, D, N]
+            ohk = (pslot_d[:, :, None] == slot_iota).astype(jnp.bfloat16)
             odd = ((depth[:, None] - 1 - di) % 2) != 0
-            weight = jnp.where(
-                validp, jnp.where(odd, -v[:, None], v[:, None]), 0.0
-            )
-            wn = jnp.stack([validp.astype(jnp.float32), weight], axis=2)
+            sign = jnp.where(
+                validp, jnp.where(odd, -1.0, 1.0), 0.0
+            ).astype(jnp.bfloat16)                             # [B, D]
+            wn = jnp.stack([validp.astype(jnp.bfloat16), sign], axis=2)
             ohk2 = ohk[:, :, None, :] * wn[..., None]          # [B,D,2,K]
-            return jnp.einsum("bdn,bdtk->bntk", ohn, ohk2)
+            delta = jnp.einsum(
+                "bdn,bdtk->btnk", ohn, ohk2,
+                preferred_element_type=jnp.float32,
+            )
+            scale = jnp.stack([jnp.ones_like(v), v], axis=1)   # [B, 2]
+            return delta * scale[:, :, None, None]
 
         # Full static-length contraction, fused with the ew add. A
         # depth-capped variant (lax.cond: short contraction for typical
@@ -486,10 +505,14 @@ def run_mcts(
             root_n=tree.root_n + (mode != _MODE_NOOP).astype(jnp.int32),
         )
 
+    # The barrier stops XLA from sinking the zero-initialized stats into
+    # the loop body as select(i == 0, 0, carry) — a whole-ew-array select
+    # every simulation (measured 132 ms/move = 12% at standard config).
+    tree = jax.lax.optimization_barrier(tree)
     tree = jax.lax.fori_loop(0, cfg.num_simulations, sim_body, tree)
 
     visits_f = tree.ew[:, 0, 0, :]
-    w_root = tree.ew[:, 0, 1, :]
+    w_root = tree.ew[:, 1, 0, :]
     total = jnp.maximum(jnp.sum(visits_f, axis=-1), 1.0)
     root_value = jnp.sum(w_root, axis=-1) / total
     root_valid = tree.actions[:, 0, :] >= 0
