@@ -120,7 +120,6 @@ def _mask_normalize(p_slots: jax.Array, valid: jax.Array) -> jax.Array:
 # and the 8100-wide prior gather another 17%.
 _SLOT_KINDS = (5, 5, 6, 6, 4, 4, 3, 3, 2, 2, 1, 7, 7, 7, 7, 7)
 _SLOT_BUDGET = {5: 18, 6: 18, 4: 8, 3: 4, 2: 4, 1: 4, 7: 3}
-_SLOT_J = 18  # max budget
 
 
 def _legal_slots_priors(
@@ -163,25 +162,42 @@ def _legal_slots_priors(
     p_rows = jnp.einsum("bpf,bft->bpt", oh_pieces, pr3)
     r = jnp.cumsum(m_rows, axis=2)                          # dest ranks
     cnt = r[:, :, -1]
-    j_iota = jnp.arange(_SLOT_J, dtype=f32)
-    ohj = (r[..., None] == (j_iota + 1.0)) & (m_rows[..., None] > 0.5)
-    ohj = ohj.astype(f32)                                   # [B, 16, 90, J]
     t_iota = jnp.arange(90, dtype=f32)
-    comp_t = jnp.einsum("bptj,t->bpj", ohj, t_iota)         # [B, 16, J]
-    comp_p = jnp.einsum("bptj,bpt->bpj", ohj, p_rows)       # exact f32 pick
-    valid3 = j_iota[None, None] < cnt[..., None]
-    acts3 = (f_p[..., None] * 90.0 + comp_t).astype(jnp.int32)
 
-    # assemble the static layout (pure slicing, no gathers)
-    acts = jnp.concatenate(
-        [acts3[:, i, : budgets[i]] for i in range(len(budgets))], axis=1
-    )
-    valid = jnp.concatenate(
-        [valid3[:, i, : budgets[i]] for i in range(len(budgets))], axis=1
-    )
-    prio = jnp.concatenate(
-        [comp_p[:, i, : budgets[i]] for i in range(len(budgets))], axis=1
-    )
+    # Rank->slot one-hots per BUDGET GROUP: the slot rows are ordered so
+    # equal-budget piece kinds are contiguous (rooks+cannons 18, horses 8,
+    # elephants/advisors/king 4, pawns 3), and within a group every row
+    # keeps exactly its budget's slots — so the [B, rows, 90, J] one-hot
+    # is built at each group's own J (123 slot-columns total instead of
+    # 16 x 18 = 288) and assembly is a plain reshape per group.
+    groups = []
+    start = 0
+    while start < len(budgets):
+        end = start
+        while end < len(budgets) and budgets[end] == budgets[start]:
+            end += 1
+        groups.append((start, end, budgets[start]))
+        start = end
+
+    acts_parts, valid_parts, prio_parts = [], [], []
+    for lo, hi, j_g in groups:
+        r_g = r[:, lo:hi]
+        m_g = m_rows[:, lo:hi]
+        j_iota = jnp.arange(j_g, dtype=f32)
+        ohj = ((r_g[..., None] == (j_iota + 1.0)) & (m_g[..., None] > 0.5))
+        ohj = ohj.astype(f32)                               # [B, g, 90, Jg]
+        comp_t = jnp.einsum("bptj,t->bpj", ohj, t_iota)
+        comp_p = jnp.einsum("bptj,bpt->bpj", ohj, p_rows[:, lo:hi])
+        valid_g = j_iota[None, None] < cnt[:, lo:hi, None]
+        acts_g = (f_p[:, lo:hi, None] * 90.0 + comp_t).astype(jnp.int32)
+        n_g = hi - lo
+        acts_parts.append(acts_g.reshape(b, n_g * j_g))
+        valid_parts.append(valid_g.reshape(b, n_g * j_g))
+        prio_parts.append(comp_p.reshape(b, n_g * j_g))
+
+    acts = jnp.concatenate(acts_parts, axis=1)
+    valid = jnp.concatenate(valid_parts, axis=1)
+    prio = jnp.concatenate(prio_parts, axis=1)
     pad = k - acts.shape[1]
     if pad:
         acts = jnp.pad(acts, ((0, 0), (0, pad)))
