@@ -184,18 +184,25 @@ def make_handler(service: GameService):
                 with service.lock:
                     service.requests += 1
                     self._send(*service.game_state())
-            elif self.path == "/" or (
-                "/" + os.path.basename(self.path) == self.path
-                and self.path.endswith((".html", ".js", ".css"))
+            elif self.path == "/" or self.path == "/app" or (
+                self.path.endswith((".html", ".js", ".css"))
             ):
-                name = "index.html" if self.path == "/" else self.path[1:]
+                name = {
+                    "/": "index.html",
+                    "/app": "app/index.html",
+                }.get(self.path, self.path[1:])
+                # containment check: resolved path must stay in static/
+                full = os.path.realpath(os.path.join(_STATIC_DIR, name))
+                if not full.startswith(os.path.realpath(_STATIC_DIR) + os.sep):
+                    self._send(404, {"error": "no such asset"})
+                    return
                 ctype = {
                     ".html": "text/html; charset=utf-8",
                     ".js": "text/javascript; charset=utf-8",
                     ".css": "text/css; charset=utf-8",
-                }[os.path.splitext(name)[1]]
+                }[os.path.splitext(full)[1]]
                 try:
-                    with open(os.path.join(_STATIC_DIR, name), "rb") as f:
+                    with open(full, "rb") as f:
                         body = f.read()
                     self.send_response(200)
                     self.send_header("Content-Type", ctype)
