@@ -68,7 +68,7 @@ def main(argv=None) -> int:
         force=True,
     )
     trainer = AlphaZeroTrainer(cfg)
-    trainer.train(resume=resume)
+    trainer.train(resume=resume, init_from=args.init_from)
     return 0
 
 

@@ -176,6 +176,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--channels", type=int)
     p.add_argument("--res-blocks", type=int)
     p.add_argument("--resume", type=str)
+    p.add_argument("--init-from", type=str,
+                   help="warm-start params from a best_model export "
+                        "(fresh optimizer/iteration counter)")
     p.add_argument("--checkpoint-dir", type=str)
     p.add_argument("--seed", type=int)
     p.add_argument("--dtype", choices=["float32", "bfloat16"])

@@ -422,9 +422,35 @@ class AlphaZeroTrainer:
         logger.info("iteration %d done in %.1fs", self.iteration, stats["time"])
         return stats
 
-    def train(self, resume: Optional[str] = None) -> None:
+    def warm_start(self, best_model_path: str) -> None:
+        """Initialize current AND best weights from a slim ``best_model``
+        export (params + batch stats only) — continue training a published
+        model when its full checkpoint (optimizer state, RNG) was pruned.
+        The iteration counter and optimizer start fresh; this is a NEW run
+        seeded with trained weights, not a resume."""
+        target = {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "iteration": 0,
+        }
+        restored = ckpt.load_checkpoint(best_model_path, target)
+        self.params = jax.tree.map(jnp.asarray, restored["params"])
+        self.batch_stats = jax.tree.map(jnp.asarray, restored["batch_stats"])
+        self.best_params = _copy_tree(self.params)
+        self.best_stats = _copy_tree(self.batch_stats)
+        self.opt_state = self.tx.init(self.params)
+        logger.info(
+            "warm start from %s (exported at iteration %d)",
+            best_model_path, int(restored["iteration"]),
+        )
+
+    def train(
+        self, resume: Optional[str] = None, init_from: Optional[str] = None
+    ) -> None:
         if resume:
             self.restore(resume)
+        elif init_from:
+            self.warm_start(init_from)
         while self.iteration < self.cfg.num_iterations:
             self.run_iteration()
         self.save(is_best=True)
