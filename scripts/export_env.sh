@@ -21,8 +21,11 @@
 #   checkpoints.tar.gz checkpoint dir                 (--checkpoints DIR)
 set -euo pipefail
 
-OUT="${1:-env_export}"
-shift || true
+OUT="env_export"
+if [ $# -gt 0 ] && [ "${1#--}" = "$1" ]; then  # first arg only if not a flag
+  OUT="$1"
+  shift
+fi
 WITH_WHEELS=0; WITH_CACHE=0; CKPT_DIR=""
 while [ $# -gt 0 ]; do
   case "$1" in

@@ -1,10 +1,7 @@
 from .sharding import (  # noqa: F401
     batch_sharded,
     distributed_init,
-    global_sharded,
     host_local_batch,
-    is_multihost,
-    make_global_mesh,
     make_mesh,
     make_sharded_eval,
     make_sharded_selfplay,

@@ -106,16 +106,6 @@ def make_sharded_eval(net, batch: int, settings: EvalSettings, mesh: Mesh):
 from ..distributed import distributed_init  # noqa: E402, F401
 
 
-def is_multihost() -> bool:
-    return jax.process_count() > 1
-
-
-def make_global_mesh(axis_name: str = "data") -> Mesh:
-    """Mesh over ALL global devices (every process's chips); identical on
-    every host. ICI within a host's slice, DCN across hosts."""
-    return Mesh(np.asarray(jax.devices()), (axis_name,))
-
-
 def put_replicated(mesh: Mesh, tree):
     """Host values (identical on every process) -> replicated global device
     arrays. Under multi-controller jit, plain numpy/single-device inputs are
@@ -131,21 +121,6 @@ def put_replicated(mesh: Mesh, tree):
             return x  # already a global array
         bufs = [jax.device_put(x, d) for d in mesh.local_devices]
         return jax.make_array_from_single_device_arrays(jnp.shape(x), s, bufs)
-
-    return jax.tree.map(put, tree)
-
-
-def global_sharded(mesh: Mesh, tree, axis: int = 0):
-    """GLOBAL host values (identical on every process) -> jax.Arrays sharded
-    on the mesh batch axis. Each process materializes only its addressable
-    shards (jax.make_array_from_callback)."""
-    names = [None] * 32
-    names[axis] = mesh.axis_names[0]
-
-    def put(x):
-        x = np.asarray(x)
-        sh = NamedSharding(mesh, P(*names[: max(x.ndim, 1)]))
-        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
 
     return jax.tree.map(put, tree)
 

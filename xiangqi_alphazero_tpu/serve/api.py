@@ -176,14 +176,18 @@ def make_handler(service: GameService):
             self.wfile.write(body)
 
         def do_GET(self):  # noqa: N802
+            # compute under the lock, WRITE outside it: a stalled client
+            # socket must not block every other request on the lock
             if self.path == "/api/models":
                 with service.lock:  # GET APIs count in the stats too
                     service.requests += 1
-                    self._send(*service.models())
+                    out = service.models()
+                self._send(*out)
             elif self.path == "/api/game_state":
                 with service.lock:
                     service.requests += 1
-                    self._send(*service.game_state())
+                    out = service.game_state()
+                self._send(*out)
             elif self.path == "/" or self.path == "/app" or (
                 self.path.endswith((".html", ".js", ".css"))
             ):
@@ -228,7 +232,8 @@ def make_handler(service: GameService):
             try:
                 with service.lock:
                     service.requests += 1
-                    self._send(*fn(data))
+                    out = fn(data)
+                self._send(*out)
             except (KeyError, TypeError, ValueError) as e:
                 self._send(400, {"error": f"bad request: {e!r}"})
 

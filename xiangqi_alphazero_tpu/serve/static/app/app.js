@@ -58,8 +58,16 @@ function notation(board, from, to) {
   const twin = [];
   for (let r = 0; r < 10; r++) if (board[sq(r, fc)] === p) twin.push(r);
   if (twin.length > 1 && a !== 2 && a !== 3) {
-    const isFront = side > 0 ? fr === Math.max(...twin) : fr === Math.min(...twin);
-    head = (isFront ? "前" : "后") + ch;
+    // front-first order from the mover's perspective; 前/中/后 covers
+    // pairs and triples, deeper stacks (4-5 pawns) use 二/三/... ranks
+    twin.sort((x, y) => (side > 0 ? y - x : x - y));
+    const i = twin.indexOf(fr);
+    const tag =
+      i === 0 ? "前"
+      : i === twin.length - 1 ? "后"
+      : twin.length === 3 ? "中"
+      : DIGITS_R[i];
+    head = tag + ch;
   } else {
     head = ch + file(fc);
   }
@@ -145,6 +153,7 @@ async function serverHumanMove(from, to) {
     S.current = d.current_player;
     S.over = d.game_over;
     S.winner = d.winner ?? null;
+    S.lastMove = { from, to };  // AI reply below overrides when present
     if (d.ai_move) {
       const m = d.ai_move;  // {from: [r,c], to: [r,c], label}
       S.lastMove = { from: sq(m.from[0], m.from[1]), to: sq(m.to[0], m.to[1]) };
