@@ -564,12 +564,16 @@ def action_probs_slots(result: SearchResult, temperature: jax.Array) -> jax.Arra
 
 
 def action_probs_dense(result: SearchResult, temperature: jax.Array) -> jax.Array:
-    """Dense pi[B, 8100] (see action_probs_slots)."""
+    """Dense pi[B, 8100] (see action_probs_slots). COLD path (tests /
+    serving) — the one-hot contraction materializes [B, K, 8100]; it is
+    deliberately scatter-free (per-lane index-vector scatter-adds are both
+    slow and a miscompile hazard on this backend, PERF_NOTES 5c)."""
     pi_slots = action_probs_slots(result, temperature)
-    batch = pi_slots.shape[0]
-    dense = jnp.zeros((batch, ACTION_SPACE), jnp.float32)
-    idx = jnp.maximum(result.actions, 0)
-    dense = jax.vmap(lambda d, i, p: d.at[i].add(p))(dense, idx, pi_slots)
+    idx = jnp.where(result.valid, result.actions, 0)
+    oh = jax.nn.one_hot(idx, ACTION_SPACE, dtype=jnp.float32)
+    dense = jnp.einsum(
+        "bk,bka->ba", jnp.where(result.valid, pi_slots, 0.0), oh
+    )
     return jnp.where(
         jnp.any(result.valid, axis=-1, keepdims=True), dense, 0.0
     )
