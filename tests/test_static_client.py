@@ -92,8 +92,13 @@ def test_es_module_imports_resolve():
                         )
 
 
+_LAST_SVC = None
+
+
 @pytest.fixture(scope="module")
 def http_root():
+    global _LAST_SVC
+
     class _Svc:  # handler needs lock/requests + the route callables
         lock = threading.Lock()
         requests = 0
@@ -110,8 +115,9 @@ def http_root():
             lambda data: (400, {"error": "stub"})
         )
 
+    _LAST_SVC = _Svc()
     httpd = ThreadingHTTPServer(
-        ("127.0.0.1", 0), serve_api.make_handler(_Svc())
+        ("127.0.0.1", 0), serve_api.make_handler(_LAST_SVC)
     )
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
@@ -141,6 +147,18 @@ def test_static_traversal_refused(http_root):
         with pytest.raises(HTTPError) as e:
             urlopen(http_root + path)
         assert e.value.code == 404, path
+
+
+def test_get_endpoints_count_in_stats(http_root):
+    """GET APIs must increment the request counter (VERDICT r1 weak #7);
+    static asset fetches must not."""
+    before = _LAST_SVC.requests
+    for path in ("/api/models", "/api/game_state"):
+        with urlopen(http_root + path) as resp:
+            assert resp.status == 200
+    with urlopen(http_root + "/engine.js") as resp:
+        assert resp.status == 200
+    assert _LAST_SVC.requests == before + 2
 
 
 def test_pages_reference_served_assets(http_root):
