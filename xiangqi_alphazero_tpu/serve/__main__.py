@@ -60,14 +60,18 @@ def main(argv=None) -> int:
     }
     params = pred.variables["params"]
     stats = pred.variables["batch_stats"]
-    if args.format == "npz":
-        export_npz(args.output, params, stats, mc)
-    elif args.format == "torch":
-        export_torch_checkpoint(args.output, params, stats, mc)
-    elif args.format == "torchscript":
-        export_torchscript(args.output, params, stats, mc)
-    else:
-        export_onnx(args.output, params, stats, mc)
+    try:
+        if args.format == "npz":
+            export_npz(args.output, params, stats, mc)
+        elif args.format == "torch":
+            export_torch_checkpoint(args.output, params, stats, mc)
+        elif args.format == "torchscript":
+            export_torchscript(args.output, params, stats, mc)
+        else:
+            export_onnx(args.output, params, stats, mc)
+    except RuntimeError as e:  # e.g. onnx backend not installed
+        print(f"export failed: {e}")
+        return 1
     print(f"exported {args.format} -> {args.output}")
     if not args.no_verify:
         try:

@@ -299,8 +299,19 @@ def verify_export(
 
 def export_onnx(path: str, params, batch_stats, model_config: Dict) -> str:
     """ONNX export (reference: export_model.py:35-49): opset 13, dynamic
-    batch axis, input 'state', outputs 'policy'/'value'."""
+    batch axis, input 'state', outputs 'policy'/'value'. Uses the legacy
+    TorchScript exporter (the reference's own path; the torch>=2.9 dynamo
+    default needs onnxscript). Requires the `onnx` package — not baked
+    into this image; raises a clear RuntimeError without it."""
     import torch
+
+    try:
+        import onnx  # noqa: F401 - serialization backend of the exporter
+    except ImportError as e:
+        raise RuntimeError(
+            "ONNX export needs the `onnx` package (pip install onnx); "
+            "use --format torch/torchscript/npz instead"
+        ) from e
 
     net = _torch_net_with_weights(params, batch_stats, model_config)
     example = torch.zeros(1, 15, 10, 9)
@@ -316,5 +327,6 @@ def export_onnx(path: str, params, batch_stats, model_config: Dict) -> str:
             "value": {0: "batch"},
         },
         opset_version=13,
+        dynamo=False,
     )
     return path
