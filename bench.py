@@ -118,6 +118,35 @@ def main() -> None:
     env_dt = time.perf_counter() - t0
     env_steps_per_sec = eb * (len(acts) - 1) / env_dt
 
+    # --- standard-config search (the production 128ch/6res net) ----------
+    std_batch, std_sims = 1024, 200
+    net_s, vars_s = init_net(
+        jax.random.key(3), channels=128, blocks=6, dtype=jnp.bfloat16
+    )
+
+    def eval_std(feats):
+        logits, value = net_s.apply(vars_s, feats, train=False)
+        return logits, value.squeeze(-1)
+
+    cfg_s = MCTSConfig(num_simulations=std_sims)
+
+    @jax.jit
+    def search_std(states, rng):
+        res = run_mcts(
+            eval_std, states, rng, cfg_s, add_noise=True, logits_eval=True
+        )
+        return res.visits[0, 0]
+
+    sstates = jax.jit(E.reset_batch, static_argnums=0)(std_batch)
+    k = jax.random.key(4)
+    np.asarray(search_std(sstates, k))  # compile
+    t0 = time.perf_counter()
+    for i in range(3):
+        k, k2 = jax.random.split(k)
+        r = search_std(sstates, k2)
+    np.asarray(r)
+    std_sims_per_sec = std_batch * std_sims * 3 / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -127,6 +156,7 @@ def main() -> None:
                 "vs_baseline": round(sims_per_sec / BASELINE_SIMS_PER_SEC, 2),
                 "mfu": round(mfu, 4),
                 "env_steps_per_sec": round(env_steps_per_sec, 1),
+                "standard_sims_per_sec": round(std_sims_per_sec, 1),
             }
         )
     )
