@@ -14,7 +14,9 @@ sims/move and ~60 plies/game (reference: models/training_stats.json:4-16),
 i.e. ~139 NN-evaluated simulations/second. vs_baseline = ours / 139.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu",
-"env_steps_per_sec"}.
+"env_steps_per_sec", "standard_sims_per_sec"} — the last is the same
+search on the production 128ch/6res net (the driver-tracked waterline for
+the standard preset).
 """
 
 import json

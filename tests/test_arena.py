@@ -1,11 +1,17 @@
-"""Arena driver: a clearly stronger net must win a temperature-sampled
-color-halved match, and the counts must be consistent."""
+"""Arena driver: counts must be consistent, and temperature sampling must
+make games within a color half diverge (the deterministic eval driver's
+failure mode for strength matches)."""
 
 import jax
 import numpy as np
 
-from xiangqi_alphazero_tpu.models import init_net
-from xiangqi_alphazero_tpu.train.arena import ArenaSettings, make_hosted_arena
+from xiangqi_alphazero_tpu.models import init_net, policy_logits_fn
+from xiangqi_alphazero_tpu.train import evaluate as EV
+from xiangqi_alphazero_tpu.train.arena import (
+    ArenaSettings,
+    _sampler,
+    make_hosted_arena,
+)
 
 
 def test_arena_counts_consistent():
@@ -22,22 +28,16 @@ def test_arena_counts_consistent():
 
 def test_arena_games_diverge_under_temperature():
     """With temp > 0 and per-game RNG, games within a color half must not
-    all be identical (the deterministic eval driver's failure mode)."""
+    all be identical. Drives the SHARED evaluate._make_body with the
+    arena's temperature samplers (arena is a thin wrapper over it)."""
     net, v1 = init_net(jax.random.key(0), channels=8, blocks=1)
-    s = ArenaSettings(num_simulations=4, max_game_length=10, temperature=1.0)
+    s = EV.EvalSettings(num_simulations=4, max_game_length=10)
 
-    # reuse internals to inspect final boards
-    from xiangqi_alphazero_tpu.train import arena as A
-
-    run = make_hosted_arena(net, net, 8, s)
-    out = run(v1, v1, jax.random.key(3))
-    del out
-
-    init = jax.jit(lambda r: A._init_carry(8, r))(jax.random.key(3))
-    from xiangqi_alphazero_tpu.models import policy_logits_fn
-
-    body = A._make_body(
-        policy_logits_fn(net, v1), policy_logits_fn(net, v1), 8, s
+    init = jax.jit(lambda r: EV._init_carry(8, r))(jax.random.key(3))
+    sel = _sampler(4, temperature=1.0)
+    body = EV._make_body(
+        policy_logits_fn(net, v1), policy_logits_fn(net, v1), 8, s,
+        logits_eval=True, select_new=sel, select_old=sel,
     )
     step = jax.jit(lambda c: body(c))
     c = init

@@ -92,12 +92,16 @@ def test_es_module_imports_resolve():
                         )
 
 
-_LAST_SVC = None
+class _ServerHandle:
+    def __init__(self, url, svc):
+        self.url = url
+        self.svc = svc
 
 
 @pytest.fixture(scope="module")
-def http_root():
-    global _LAST_SVC
+def server():
+    """Stub service behind the real HTTP handler; yields (url, svc) so
+    tests can read the service's counters directly."""
 
     class _Svc:  # handler needs lock/requests + the route callables
         lock = threading.Lock()
@@ -115,14 +119,19 @@ def http_root():
             lambda data: (400, {"error": "stub"})
         )
 
-    _LAST_SVC = _Svc()
+    svc = _Svc()
     httpd = ThreadingHTTPServer(
-        ("127.0.0.1", 0), serve_api.make_handler(_LAST_SVC)
+        ("127.0.0.1", 0), serve_api.make_handler(svc)
     )
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
-    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield _ServerHandle(f"http://127.0.0.1:{httpd.server_address[1]}", svc)
     httpd.shutdown()
+
+
+@pytest.fixture(scope="module")
+def http_root(server):
+    return server.url
 
 
 def test_static_routes_serve(http_root):
@@ -149,16 +158,16 @@ def test_static_traversal_refused(http_root):
         assert e.value.code == 404, path
 
 
-def test_get_endpoints_count_in_stats(http_root):
+def test_get_endpoints_count_in_stats(server):
     """GET APIs must increment the request counter (VERDICT r1 weak #7);
     static asset fetches must not."""
-    before = _LAST_SVC.requests
+    before = server.svc.requests
     for path in ("/api/models", "/api/game_state"):
-        with urlopen(http_root + path) as resp:
+        with urlopen(server.url + path) as resp:
             assert resp.status == 200
-    with urlopen(http_root + "/engine.js") as resp:
+    with urlopen(server.url + "/engine.js") as resp:
         assert resp.status == 200
-    assert _LAST_SVC.requests == before + 2
+    assert server.svc.requests == before + 2
 
 
 def test_pages_reference_served_assets(http_root):

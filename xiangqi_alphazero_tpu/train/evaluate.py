@@ -44,6 +44,7 @@ class EvalOut(NamedTuple):
     draws: jax.Array
     winners: jax.Array      # int8[B] (+1 red, -1 black, 0 draw)
     new_is_red: jax.Array   # bool[B]
+    avg_plies: jax.Array    # f32 scalar, mean game length
 
 
 class EvalCarry(NamedTuple):
@@ -70,13 +71,26 @@ def _make_body(
     batch: int,
     s: EvalSettings,
     logits_eval: bool,
+    select_new: Callable | None = None,
+    select_old: Callable | None = None,
 ) -> Callable[[EvalCarry], EvalCarry]:
+    """Per-ply body of the color-halved lockstep match.
+
+    ``select_new``/``select_old`` map ``(SearchResult, key) -> actions`` for
+    each half; the default is the reference's deterministic greedy pick
+    (temperature 0, train.py:478-496). The arena driver (arena.py) passes
+    temperature samplers instead — this is the ONE copy of the
+    swap/ordering logic both drivers share."""
     half = batch // 2
     mcfg = M.MCTSConfig(
         num_simulations=s.num_simulations,
         c_puct=s.c_puct,
         max_children=s.max_children,
     )
+    if select_new is None:
+        select_new = lambda res, k: _greedy(res)  # noqa: E731
+    if select_old is None:
+        select_old = lambda res, k: _greedy(res)  # noqa: E731
 
     def swap_halves(tree):
         return jax.tree.map(
@@ -84,7 +98,7 @@ def _make_body(
         )
 
     def body(c: EvalCarry) -> EvalCarry:
-        rng, k1, k2 = jax.random.split(c.rng, 3)
+        rng, k1, k2, ka, kb = jax.random.split(c.rng, 5)
         # red moves at even plies (no openings, all games in lockstep);
         # order the batch so the candidate's games come first, search each
         # half with only its mover's model, then restore the order
@@ -102,7 +116,9 @@ def _make_body(
             eval_old, bot, k2, mcfg, add_noise=False,
             logits_eval=logits_eval,
         )
-        act_ordered = jnp.concatenate([_greedy(res_new), _greedy(res_old)])
+        act_ordered = jnp.concatenate(
+            [select_new(res_new, ka), select_old(res_old, kb)]
+        )
         act = jax.lax.cond(
             new_first, lambda a: a, swap_halves, act_ordered
         )
@@ -123,6 +139,7 @@ def _finalize(out: EvalCarry, batch: int) -> EvalOut:
         draws=jnp.sum((winners == 0).astype(jnp.int32)),
         winners=winners,
         new_is_red=new_is_red,
+        avg_plies=jnp.mean(out.states.ply.astype(jnp.float32)),
     )
 
 
@@ -152,14 +169,26 @@ def make_hosted_eval(
     s: EvalSettings,
     batch_sharding=None,
     plies_per_segment: int = 16,
+    *,
+    net_old=None,
+    select_new: Callable | None = None,
+    select_old: Callable | None = None,
 ):
     """Host-driven eval: returns ``run(vars_new, vars_old, rng) -> EvalOut``
     with bounded device programs (carry donated between segments).
+
+    ``net_old`` (default: ``net``) lets the two halves run different
+    topologies; ``select_new``/``select_old`` override the greedy action
+    pick per half (see _make_body) — together these are the hooks the
+    arena strength-match driver (arena.py) is built on.
 
     Multi-host: same lockstep-SPMD posture as make_hosted_selfplay —
     liveness check and final outputs replicated so every host reads them."""
     assert batch % 2 == 0, "eval batch must be even (color halves)"
     from ..models import policy_logits_fn
+
+    if net_old is None:
+        net_old = net
 
     multihost = jax.process_count() > 1
     repl = (
@@ -181,8 +210,9 @@ def make_hosted_eval(
     def segment(vars_new, vars_old, carry: EvalCarry) -> EvalCarry:
         body = _make_body(
             policy_logits_fn(net, vars_new),
-            policy_logits_fn(net, vars_old),
+            policy_logits_fn(net_old, vars_old),
             batch, s, logits_eval=True,
+            select_new=select_new, select_old=select_old,
         )
         t_end = jnp.minimum(
             carry.t + plies_per_segment, jnp.int32(s.max_game_length)

@@ -45,10 +45,23 @@ class Timer:
 
 
 @contextlib.contextmanager
-def phase_profile(trace_dir: Optional[str] = None):
-    """Wrap a region in a jax.profiler trace when trace_dir is given."""
+def phase_profile(trace_dir: Optional[str] = None, device_only: bool = True):
+    """Wrap a region in a jax.profiler trace when trace_dir is given.
+
+    ``device_only`` (default) turns host/python tracing OFF: a multi-phase
+    capture floods the chrome-trace with ~1M host events, hitting the
+    exporter's event cap and silently DROPPING the device stream — exactly
+    the stream ``trace_tools`` aggregates. Pass ``device_only=False`` to
+    keep the host timeline (dispatch-gap / python-overhead analysis) on a
+    capture small enough to fit.
+    """
     if trace_dir:
-        with jax.profiler.trace(trace_dir):
+        opts = None
+        if device_only:
+            opts = jax.profiler.ProfileOptions()
+            opts.host_tracer_level = 0
+            opts.python_tracer_level = 0
+        with jax.profiler.trace(trace_dir, profiler_options=opts):
             yield
     else:
         yield

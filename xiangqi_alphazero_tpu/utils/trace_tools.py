@@ -40,7 +40,7 @@ def aggregate_device_ops(
     """[(op name, total_ms, count)] over the device (TPU/GPU) streams,
     sorted by total duration descending."""
     pids: Dict[int, str] = {
-        e["pid"]: str(e["args"].get("name"))
+        e["pid"]: str(e.get("args", {}).get("name"))
         for e in events
         if e.get("ph") == "M" and e.get("name") == "process_name"
     }
@@ -68,7 +68,7 @@ def main(argv=None) -> int:
         return 1
     # the outermost program/while rows double-count their children — use
     # the largest single event as the wall-clock reference
-    total = rows[0][1]
+    total = rows[0][1] or 1e-9
     print(f"device total (outermost op): {total:.2f} ms")
     for name, ms, n in rows[: args.top]:
         print(f"{ms:9.2f} ms {100 * ms / total:5.1f}% x{n:<6d} {name[:90]}")
