@@ -1,14 +1,19 @@
 """Batched MCTS tests.
 
 The key tests are exact equivalence against a host-side mirror of the
-reference search (training/mcts.py semantics: children iterated in ascending
-action order with a strict '>' UCB update, so exact ties resolve to the
-LOWEST action) driven by the same deterministic mock network — the batched
-array tree and the object tree must produce identical root visit counts
-with noise off. The batched implementation stores children in a per-piece
-slot layout (NOT action-ordered) and reproduces the reference tie-break via
-a lexicographic (ucb, lowest-action) argmax; parity is asserted on the
-opening position AND on randomly advanced midgame positions.
+reference search (training/mcts.py semantics: the children dict preserves
+MOVE-GENERATION insertion order — priors built by iterating
+get_legal_actions() — and both the strict-'>' UCB select and the temp-0
+max() keep the FIRST max, so exact ties resolve to the earliest move in
+generator order, NOT the lowest action number) driven by the same
+deterministic mock network — the batched array tree and the object tree
+must produce identical root visit counts with noise off. The batched
+implementation stores children in a per-piece slot layout and reproduces
+the reference tie-break via a movegen-precedence key packed into the slot
+values (search.movegen_precedence, validated directly against the
+reference engine's enumeration in test_reference_differential); parity is
+asserted on the opening position AND on randomly advanced midgame
+positions.
 """
 
 import math
@@ -61,12 +66,20 @@ class _Node:
         self.n = 0
         self.w = 0.0
         self.p = prior
-        self.kids = {}  # action -> _Node, inserted in ascending order
+        self.kids = {}  # action -> _Node, inserted in MOVEGEN order
+
+
+def _ref_order(pos: Position, acts):
+    """Actions in the reference engine's enumeration order (the oracle
+    returns them ascending; the reference's dict order is movegen order)."""
+    from xiangqi_alphazero_tpu.search import movegen_precedence
+
+    return sorted(acts, key=lambda a: movegen_precedence(a, abs(pos.board[a // 90])))
 
 
 def _priors(pos: Position, raw=None):
     raw = _FIXED_PROBS if raw is None else raw
-    acts = pos.legal_actions()
+    acts = _ref_order(pos, pos.legal_actions())
     mass = np.float32(sum(np.float32(raw[a]) for a in acts))
     if mass > 0:
         return {a: np.float32(raw[a]) / mass for a in acts}
@@ -75,11 +88,11 @@ def _priors(pos: Position, raw=None):
 
 def _py_mcts(pos: Position, sims: int, c_puct=1.5, raw_probs=None,
              value_fn=None):
-    """Reference-semantics MCTS (training/mcts.py:94-155) with ascending
-    action order and float32 UCB, matching the batched implementation's
-    deterministic tie-breaks. ``raw_probs``/``value_fn`` override the mock
-    network (used by scripts/tpu_search_parity.py with exact-dyadic
-    arithmetic so TPU-vs-host parity is bit-exact)."""
+    """Reference-semantics MCTS (training/mcts.py:94-155) with children in
+    movegen insertion order and float32 UCB, matching the batched
+    implementation's deterministic tie-breaks. ``raw_probs``/``value_fn``
+    override the mock network (used by scripts/tpu_search_parity.py with
+    exact-dyadic arithmetic so TPU-vs-host parity is bit-exact)."""
     if value_fn is None:
         value_fn = _mock_value_from_feats
     root = _Node()
@@ -183,8 +196,9 @@ def _advance_random(plies: int, seed: int) -> Position:
 
 def test_exact_match_vs_mirror_random_positions():
     """Mirror parity on midgame positions where the per-piece slot order
-    differs from ascending action order — guards the tie-break semantics
-    (every search's first simulation is an exact all-way UCB tie)."""
+    differs from the reference's movegen order — guards the tie-break
+    semantics (every search's first simulation is an exact all-way UCB
+    tie, resolved to the first move in generator order)."""
     cfg = MCTSConfig(num_simulations=36)
     cases = [_advance_random(plies, seed) for plies, seed in
              [(2, 0), (5, 1), (9, 2), (14, 3), (23, 4), (40, 5)]]

@@ -53,24 +53,31 @@ def test_pallas_kernel_matches_xla(positions):
 
 def test_slot_compaction_matches_topk(positions):
     """_legal_slots_priors must cover exactly the legal set, with exact f32
-    policy values, within the per-piece budgets."""
+    policy values, within the per-piece budgets. Slot values are PACKED
+    (movegen precedence above the action, see mcts._PACK): the packed prefix
+    must equal the host-side movegen_precedence key, so that ascending
+    packed order is the reference engine's enumeration order."""
     boards, sides = positions
     b = jnp.asarray(boards)
     s = jnp.asarray(sides)
     legal = jax.jit(jax.vmap(E.legal_mask))(b, s)
     probs = jax.random.uniform(jax.random.key(0), (boards.shape[0], 8100))
 
-    acts, valid, prio = jax.jit(
+    packed, valid, prio = jax.jit(
         lambda *a: M._legal_slots_priors(*a, 128)
     )(b, s, legal, probs)
-    acts, valid, prio = map(np.asarray, (acts, valid, prio))
+    packed, valid, prio = map(np.asarray, (packed, valid, prio))
     legal_np = np.asarray(legal)
     probs_np = np.asarray(probs)
 
     for i in range(boards.shape[0]):
         want = set(np.nonzero(legal_np[i])[0].tolist())
-        got = acts[i][valid[i]]
+        got_packed = packed[i][valid[i]]
+        got = got_packed % M._PACK
         assert len(got) == len(set(got.tolist())), "duplicate slot actions"
         assert set(got.tolist()) == want
-        assert np.all(acts[i][~valid[i]] == -1)
+        assert np.all(packed[i][~valid[i]] == -1)
         np.testing.assert_array_equal(prio[i][valid[i]], probs_np[i][got])
+        for pk, a in zip(got_packed.tolist(), got.tolist()):
+            kind = abs(int(boards[i][a // 90]))
+            assert pk // M._PACK == M.movegen_precedence(a, kind)

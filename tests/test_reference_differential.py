@@ -40,3 +40,33 @@ def test_oracle_matches_reference_on_random_games():
             a = rng.choice(ref_acts)
             ref.make_action(a)
             mine.apply(a)
+
+
+def test_movegen_order():
+    """search.movegen_precedence must reproduce the reference engine's
+    get_legal_moves() ENUMERATION ORDER (not just the set): the reference
+    MCTS builds its children dict in this order and resolves exact UCB /
+    visit-count ties to the first entry, so the batched search's packed
+    tie-break key is pinned to it."""
+    sys.path.insert(0, REF)
+    from game import XiangqiGame  # noqa: E402  (reference module)
+
+    from xiangqi_alphazero_tpu.search import movegen_precedence
+
+    rng = random.Random(77)
+    for g in range(6):
+        ref = XiangqiGame()
+        for ply in range(100):
+            ref_acts = ref.get_legal_actions()  # enumeration order
+            board = ref.board
+            ours = sorted(
+                ref_acts,
+                key=lambda a: movegen_precedence(
+                    a, abs(int(board[a // 90 // 9, (a // 90) % 9]))
+                ),
+            )
+            assert ours == ref_acts, f"game {g} ply {ply}"
+            done, _ = ref.is_game_over()
+            if done or not ref_acts:
+                break
+            ref.make_action(rng.choice(ref_acts))

@@ -51,6 +51,18 @@ def test_ai_move_payload(tiny_predictor):
     assert probs <= 1.0 + 1e-6
 
 
+def test_ai_move_tiebreak_is_movegen_order(tiny_predictor):
+    """The temp-0 pick must be the FIRST max-visit child in the reference's
+    movegen enumeration order (its max() over the insertion-ordered children
+    dict, mcts.py:198) — not the first slot by layout index."""
+    pos = Position()
+    actions, visits, order = tiny_predictor.search_position(pos)
+    tied = np.flatnonzero((actions >= 0) & (visits == visits.max()))
+    want = int(actions[tied[np.argmin(order[tied])]])
+    res = tiny_predictor.ai_move(Position())
+    assert res["ai_move"]["action"] == want
+
+
 def test_game_service_flow(tiny_predictor, tmp_path):
     svc = GameService(model_dirs=[str(tmp_path)])
     svc.predictor = tiny_predictor

@@ -46,7 +46,19 @@ Semantics preserved exactly from the reference (training/mcts.py):
 - NN leaf value negated once before backup (mcts.py:150), signs alternate up
   the path (mcts.py:66-73), the root visit count increments each sim;
 - pi extraction: visit counts ** (1/temperature), one-hot argmax at temp=0
-  (mcts.py:190-206).
+  (mcts.py:190-206);
+- tie-breaking: the reference's children dict preserves MOVE-GENERATION
+  insertion order (mcts.py:177-188 builds priors by iterating
+  get_legal_actions()), and both its strict-'>' UCB select (mcts.py:51-57)
+  and its temp-0 ``max()`` (mcts.py:198) resolve exact ties to the FIRST
+  child in that order: from-squares scanned row-major, then each piece's
+  moves in its generator's direction order (game.py:297-424 ==
+  game_core.pyx:262-486 — Python and Cython enumerate identically). This
+  is NOT ascending action order (a rook's up-file moves precede its
+  lower-numbered left-file targets). The batched tree reproduces it by
+  storing each slot's action PACKED with its movegen precedence
+  (``_pack_actions``) and breaking ties by the packed key; consumers see
+  plain actions, ``SearchResult.order`` exposes the key.
 """
 
 from __future__ import annotations
@@ -96,6 +108,10 @@ class SearchResult(NamedTuple):
     visits: jax.Array    # i32[B, K] root visit counts
     valid: jax.Array     # bool[B, K]
     root_value: jax.Array  # f32[B] mean root value (diagnostics)
+    # movegen-precedence key per slot (packed (from, rank, action); -1 pad):
+    # ascending order == the reference's child enumeration order. Greedy /
+    # temp-0 consumers break visit-count ties by argmin over this key.
+    order: jax.Array     # i32[B, K]
 
 
 # ---------------------------------------------------------------------------
@@ -121,6 +137,69 @@ def _mask_normalize(p_slots: jax.Array, valid: jax.Array) -> jax.Array:
 _SLOT_KINDS = (5, 5, 6, 6, 4, 4, 3, 3, 2, 2, 1, 7, 7, 7, 7, 7)
 _SLOT_BUDGET = {5: 18, 6: 18, 4: 8, 3: 4, 2: 4, 1: 4, 7: 3}
 
+# Movegen-precedence packing: slot values are stored as
+#   packed = (from_sq * 64 + rank) * _PACK + action,   action = packed % _PACK
+# where ``rank`` is the move's index within its piece's generator enumeration
+# (game.py:297-424 == game_core.pyx:262-486; identical orders):
+#   king           DIRECTIONS order up/down/left/right           rank 0..3
+#   advisor        (-1,-1),(-1,1),(1,-1),(1,1)                   rank 0..3
+#   elephant       (-2,-2),(-2,2),(2,-2),(2,2)                   rank 0..3
+#   horse          KNIGHT_MOVES table order                      rank 0..7
+#   rook/cannon    direction (up/down/left/right) x outward step rank d*16+s
+#                  (a cannon capture sits past its screen, so its step is
+#                  always larger than every slide in that direction)
+#   pawn           forward, left, right                          rank 0..2
+# Ascending packed order == the reference's enumeration order (from-squares
+# row-major, ranks within a piece), because rank < 64 and action < _PACK.
+# Max packed value = (89*64 + 57) * 8192 + 8099 < 2^31 (i32-safe).
+_PACK = 8192
+
+
+def _movegen_rank(kind, dr: jax.Array, dc: jax.Array) -> jax.Array:
+    """Within-piece enumeration rank of a (dr, dc) displacement; ``kind`` is
+    a static-or-array piece kind (1..7, reference numbering)."""
+    i32 = jnp.int32
+    dir4 = jnp.where(dc == 0, jnp.where(dr < 0, 0, 1),
+                     jnp.where(dc < 0, 2, 3)).astype(i32)
+    dist = jnp.maximum(jnp.abs(dr), jnp.abs(dc)).astype(i32)
+    quad = (dr > 0).astype(i32) * 2 + (dc > 0).astype(i32)
+    horse = jnp.where(jnp.abs(dr) == 2, 0, 4).astype(i32) + quad
+    pawn = jnp.where(dc == 0, 0, jnp.where(dc < 0, 1, 2)).astype(i32)
+    return jnp.where(
+        kind == 1, dir4,
+        jnp.where((kind == 2) | (kind == 3), quad,
+                  jnp.where(kind == 4, horse,
+                            jnp.where(kind == 7, pawn, dir4 * 16 + dist))),
+    )
+
+
+def unpack_actions(packed: jax.Array) -> jax.Array:
+    """Packed slot values -> plain actions (-1 pads preserved)."""
+    return jnp.where(packed >= 0, packed % _PACK, -1)
+
+
+def movegen_precedence(action: int, kind: int) -> int:
+    """Host-side (python ints) reference-order key for one action — the
+    same (from, rank) prefix the device packing uses. Sorting a position's
+    legal actions by this key reproduces the reference engine's
+    get_legal_moves() enumeration order exactly (game.py:297-424,
+    game_core.pyx:262-486; pinned by
+    tests/test_reference_differential.py::test_movegen_order)."""
+    f, t = divmod(int(action), 90)
+    dr, dc = t // 9 - f // 9, t % 9 - f % 9
+    if kind == 1:
+        rank = {(-1, 0): 0, (1, 0): 1, (0, -1): 2, (0, 1): 3}[(dr, dc)]
+    elif kind in (2, 3):
+        rank = (dr > 0) * 2 + (dc > 0)
+    elif kind == 4:
+        rank = (0 if abs(dr) == 2 else 4) + (dr > 0) * 2 + (dc > 0)
+    elif kind == 7:
+        rank = 0 if dc == 0 else (1 if dc < 0 else 2)
+    else:  # rook / cannon: direction order, then outward step
+        d = 0 if (dc == 0 and dr < 0) else 1 if dc == 0 else 2 if dc < 0 else 3
+        rank = d * 16 + max(abs(dr), abs(dc))
+    return f * 64 + rank
+
 
 def _legal_slots_priors(
     board: jax.Array, side: jax.Array, legal: jax.Array, probs: jax.Array,
@@ -129,7 +208,9 @@ def _legal_slots_priors(
     """Compact legal mask + policy into per-piece slots.
 
     board int8[B, 90], side int8[B], legal bool[B, 8100], probs f32[B, 8100]
-    -> (actions i32[B, K] (-1 pad), valid bool[B, K], priors f32[B, K]).
+    -> (packed i32[B, K] (-1 pad; see _PACK — ``unpack_actions`` recovers
+    the action, ascending packed order is the reference movegen order),
+    valid bool[B, K], priors f32[B, K]).
     Slot priors are the exact f32 policy values at the slot's action (picked
     by one-hot contraction, not gather)."""
     budgets = [_SLOT_BUDGET[kind] for kind in _SLOT_KINDS]
@@ -189,7 +270,14 @@ def _legal_slots_priors(
         comp_t = jnp.einsum("bptj,t->bpj", ohj, t_iota)
         comp_p = jnp.einsum("bptj,bpt->bpj", ohj, p_rows[:, lo:hi])
         valid_g = j_iota[None, None] < cnt[:, lo:hi, None]
-        acts_g = (f_p[:, lo:hi, None] * 90.0 + comp_t).astype(jnp.int32)
+        # pack the movegen precedence above the action (tiny elementwise
+        # VPU work on the [B, g, Jg] slot tensors; kinds static per row)
+        fi = f_p[:, lo:hi, None].astype(jnp.int32)          # from square
+        ti = comp_t.astype(jnp.int32)                       # to square
+        dr, dc = ti // 9 - fi // 9, ti % 9 - fi % 9
+        kindv = jnp.asarray(_SLOT_KINDS[lo:hi], jnp.int32)[None, :, None]
+        rank = _movegen_rank(kindv, dr, dc)
+        acts_g = (fi * 64 + rank) * _PACK + fi * 90 + ti
         n_g = hi - lo
         acts_parts.append(acts_g.reshape(b, n_g * j_g))
         valid_parts.append(valid_g.reshape(b, n_g * j_g))
@@ -286,17 +374,19 @@ def _descend_one(tree: Tree, root: _Core, c_puct: float, max_depth: int):
         q = jnp.where(e_n > 0, e_w / jnp.maximum(e_n, 1.0), 0.0)
         u = c_puct * pr * jnp.sqrt(c.node_n) / (1.0 + e_n)
         ucb = jnp.where(valid, q + u, -jnp.inf)
-        # Lexicographic argmax on (ucb, lowest action): the reference iterates
-        # children in ascending action order with a strict '>' update
-        # (mcts.py:43-58), so exact UCB ties resolve to the LOWEST action.
-        # The per-piece slot layout is not action-ordered, so a plain slot
-        # argmax would break ties differently (every search's first
-        # simulation is an all-way tie at N_parent=0).
+        # Lexicographic argmax on (ucb, movegen precedence): the reference's
+        # children dict is built in move-generation order and its strict-'>'
+        # select (mcts.py:51-57) keeps the FIRST max, so exact UCB ties
+        # resolve to the earliest move in generator order (see _PACK). The
+        # stored slot values sort exactly that way, so the secondary key is
+        # a plain argmin over the packed values. (Every search's first
+        # simulation is an all-way tie at N_parent=0, so this matters from
+        # sim 0 on.)
         tied = valid & (ucb == jnp.max(ucb))
         slot = jnp.argmin(
-            jnp.where(tied, acts, jnp.int32(ACTION_SPACE))
+            jnp.where(tied, acts, jnp.int32(2**30))
         ).astype(jnp.int32)
-        a = acts[slot]
+        a = acts[slot] % _PACK
         # cheap core step: interior nodes' terminality lives in the tree;
         # the leaf's legal mask / terminal verdict is computed once after
         # descent (run_mcts calls evaluate_batch on the batch of leaves)
@@ -531,22 +621,37 @@ def run_mcts(
     w_root = tree.ew[:, 1, 0, :]
     total = jnp.maximum(jnp.sum(visits_f, axis=-1), 1.0)
     root_value = jnp.sum(w_root, axis=-1) / total
-    root_valid = tree.actions[:, 0, :] >= 0
+    root_packed = tree.actions[:, 0, :]
+    root_valid = root_packed >= 0
     return SearchResult(
-        actions=tree.actions[:, 0, :],
+        actions=unpack_actions(root_packed),
         visits=visits_f.astype(jnp.int32),
         valid=root_valid,
         root_value=root_value,
+        order=root_packed,
     )
 
 
 # ----------------------------------------------------- pi and sampling ----
 
 
+def greedy_slots(result: SearchResult) -> jax.Array:
+    """Most-visited root slot per game, ties resolved to the earliest move
+    in the reference's generation order (its temp-0 ``max()`` over the
+    insertion-ordered children dict, mcts.py:198)."""
+    counts = jnp.where(result.valid, result.visits, -1)
+    tied = result.valid & (counts == jnp.max(counts, axis=-1, keepdims=True))
+    return jnp.argmin(
+        jnp.where(tied, result.order, jnp.int32(2**30)), axis=-1
+    )
+
+
 def action_probs_slots(result: SearchResult, temperature: jax.Array) -> jax.Array:
     """pi over child slots [B, K] with the reference's temperature semantics
-    (mcts.py:190-206): temp==0 -> one-hot argmax of visits, else
-    visits**(1/temp) normalized."""
+    (mcts.py:190-206): temp==0 -> one-hot argmax of visits (first max in
+    movegen order), else visits**(1/temp) normalized. Rows with no valid
+    slots are all-zero either way (reference mcts.py:111-112 returns a zero
+    distribution for positions with no legal actions)."""
     counts = result.visits.astype(jnp.float32)
     temp = jnp.asarray(temperature, jnp.float32)
     t = jnp.broadcast_to(temp, counts.shape[:1])[:, None]
@@ -556,10 +661,10 @@ def action_probs_slots(result: SearchResult, temperature: jax.Array) -> jax.Arra
     denom = jnp.sum(powed, axis=-1, keepdims=True)
     soft = jnp.where(denom > 0, powed / jnp.where(denom > 0, denom, 1.0), 0.0)
 
-    best = jnp.argmax(
-        jnp.where(result.valid, counts, -1.0), axis=-1
+    hard = jax.nn.one_hot(
+        greedy_slots(result), counts.shape[-1], dtype=jnp.float32
     )
-    hard = jax.nn.one_hot(best, counts.shape[-1], dtype=jnp.float32)
+    hard = jnp.where(jnp.any(result.valid, axis=-1, keepdims=True), hard, 0.0)
     return jnp.where(t == 0.0, hard, soft)
 
 
@@ -596,8 +701,7 @@ def sample_actions(
     )
     gumbel = jax.random.gumbel(rng, counts.shape)
     sampled = jnp.argmax(logw + gumbel, axis=-1)
-    greedy = jnp.argmax(jnp.where(result.valid, counts, -1.0), axis=-1)
-    slot = jnp.where(t == 0.0, greedy, sampled)
+    slot = jnp.where(t == 0.0, greedy_slots(result), sampled)
     return jnp.take_along_axis(
         result.actions, slot[:, None], axis=-1
     ).squeeze(-1)

@@ -183,14 +183,20 @@ class Predictor:
 
     def search_position(
         self, pos: Position, rng: Optional[jax.Array] = None
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """Run MCTS (no noise, greedy analysis). Returns (actions, visits)."""
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Run MCTS (no noise, greedy analysis). Returns (actions, visits,
+        order) — ``order`` is the movegen-precedence key per slot (ascending
+        == the reference engine's enumeration order; -1 pads)."""
         state = state_from_position(pos)
         state_b = jax.tree.map(lambda x: x[None], state)
         res = self._search(
             self.variables, state_b, rng if rng is not None else jax.random.key(0)
         )
-        return np.asarray(res.actions[0]), np.asarray(res.visits[0])
+        return (
+            np.asarray(res.actions[0]),
+            np.asarray(res.visits[0]),
+            np.asarray(res.order[0]),
+        )
 
     # ------------------------------------------------------------ analysis
     def ai_move(self, pos: Position) -> Dict:
@@ -199,13 +205,16 @@ class Predictor:
         'prob' is the visit-proportional search distribution rather than the
         reference's temp-0 one-hot, so top_moves is informative; fields and
         structure are identical."""
-        actions, visits = self.search_position(pos)
+        actions, visits, mg_order = self.search_position(pos)
         raw_policy, value_score = self.raw_predict(pos)
         legal = set(pos.legal_actions())
 
         total = max(visits.sum(), 1)
         order = np.argsort(visits)[::-1][:15]
-        sel_slot = int(np.argmax(visits))
+        # temp-0 pick: first max-visit child in the reference's movegen
+        # order (its max() over the insertion-ordered dict, mcts.py:198)
+        tied = np.flatnonzero((actions >= 0) & (visits == visits.max()))
+        sel_slot = int(tied[np.argmin(mg_order[tied])])
         selected = int(actions[sel_slot])
 
         top_moves = []

@@ -23,9 +23,12 @@ class TrainingConfig:
     num_simulations: int = 200
     c_puct: float = 1.5
     temperature_threshold: int = 20  # plies at temp 1.0, then 0.3
-    temperature_schedule: str = "binary"  # "binary" (reference parallel
-    #   workers: 1.0 then 0.3) | "anneal" (reference serial loop: linear
-    #   1.0 -> 0.1 over 10 plies, train.py:250-255)
+    temperature_schedule: str = "binary"  # selects the reference game loop
+    #   replicated as a whole: "binary" = parallel workers (1.0 then 0.3 by
+    #   total move count, adjudication at the cap, resign after 10 recorded
+    #   moves) | "anneal" = serial loop (linear 1.0 -> 0.1 over the 10
+    #   recorded steps past the threshold, draw at the cap, resign after
+    #   step 40). See SelfPlaySettings.temperature_schedule.
     max_children: int = 128
 
     # self-play

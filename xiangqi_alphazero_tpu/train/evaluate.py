@@ -61,7 +61,8 @@ def _init_carry(batch: int, rng: jax.Array, batch_sharding=None) -> EvalCarry:
 
 
 def _greedy(res: M.SearchResult) -> jax.Array:
-    slot = jnp.argmax(jnp.where(res.valid, res.visits, -1), axis=-1)
+    # reference temp-0 pick: first max-visit child in movegen order
+    slot = M.greedy_slots(res)
     return jnp.take_along_axis(res.actions, slot[:, None], axis=-1).squeeze(-1)
 
 

@@ -53,10 +53,19 @@ class SelfPlaySettings(NamedTuple):
     max_children: int = 128
     max_game_length: int = 200
     temperature_threshold: int = 15
-    # "binary": 1.0 below the threshold then 0.3 (reference parallel
-    # workers, parallel_selfplay.py:89-92); "anneal": linear 1.0 -> 0.1
-    # over the 10 plies after the threshold (reference serial loop,
-    # train.py:250-255)
+    # The schedule selects WHICH reference game loop is replicated, as a
+    # coherent whole (the two loops differ in more than temperature):
+    # "binary" = the parallel worker loop (parallel_selfplay.py:74-121):
+    #   temp 1.0 below the threshold then 0.3, clocked by TOTAL move count
+    #   (openings included, :91); material adjudication at the move cap
+    #   (:79-89); resign gated on >10 recorded samples and checked on the
+    #   post-move state with NO terminal check in between, so a resign can
+    #   overwrite the verdict of a move that just ended the game (:109-121).
+    # "anneal" = the serial loop (train.py:248-301): temp 1.0 then linear
+    #   1.0 -> 0.1 over the 10 RECORDED steps after the threshold (openings
+    #   excluded, :249-255); the step cap ends the game as a plain draw
+    #   (no adjudication, :286-289); resign gated on step > 40 and only
+    #   checked when the game is NOT already over (:271-284).
     temperature_schedule: str = "binary"
     random_opening_moves: int = 4
     enable_resign: bool = True
@@ -93,20 +102,23 @@ class SPCarry(NamedTuple):
     rec: jax.Array
 
 
-def temperature_at(ply: jax.Array, s: SelfPlaySettings) -> jax.Array:
-    """Per-game sampling temperature at ``ply`` (f32, works on arrays).
+def temperature_at(t: jax.Array, s: SelfPlaySettings) -> jax.Array:
+    """Per-game sampling temperature at time base ``t`` (f32, arrays OK).
 
-    binary: reference parallel_selfplay.py:89-92; anneal: reference
-    train.py:250-255 (1.0, then 1.0 - 0.9*(ply-thr)/10, floor 0.1)."""
+    ``t`` is the schedule's clock and differs between the two reference
+    loops: binary (parallel_selfplay.py:91) counts TOTAL moves incl.
+    random openings (game.move_count); anneal (train.py:249-255) counts
+    RECORDED steps only (the serial loop's ``step`` starts at 0 after the
+    opening). Callers pass states.ply or n_rec accordingly."""
     thr = s.temperature_threshold
     if s.temperature_schedule == "anneal":
-        frac = (ply - thr).astype(jnp.float32) / 10.0
+        frac = (t - thr).astype(jnp.float32) / 10.0
         return jnp.where(
-            ply < thr,
+            t < thr,
             1.0,
-            jnp.where(ply < thr + 10, 1.0 - 0.9 * frac, 0.1),
+            jnp.where(t < thr + 10, 1.0 - 0.9 * frac, 0.1),
         ).astype(jnp.float32)
-    return jnp.where(ply < thr, 1.0, 0.3).astype(jnp.float32)
+    return jnp.where(t < thr, 1.0, 0.3).astype(jnp.float32)
 
 
 def _uniform_legal_action(legal: jax.Array, rng: jax.Array) -> jax.Array:
@@ -187,22 +199,31 @@ def _make_body(
         max_children=s.max_children,
     )
 
+    serial = s.temperature_schedule == "anneal"  # see SelfPlaySettings
+
     def body(c: SPCarry) -> SPCarry:
-        # adjudication first (reference checks at loop top, :76-86)
         alive = _alive(c)
-        adj = alive & (c.states.ply >= s.max_game_length)
-        forced = c.forced | adj
-        forced_winner = jnp.where(
-            adj, jax.vmap(_adjudicate)(c.states.board), c.forced_winner
-        )
-        alive = alive & ~adj
+        if not serial:
+            # parallel loop: material adjudication at the TOTAL-move cap,
+            # checked at loop top (parallel_selfplay.py:79-89). The serial
+            # loop has no adjudication — its step cap is a plain draw,
+            # handled by _finalize on the games still alive at T.
+            adj = alive & (c.states.ply >= s.max_game_length)
+            forced = c.forced | adj
+            forced_winner = jnp.where(
+                adj, jax.vmap(_adjudicate)(c.states.board), c.forced_winner
+            )
+            alive = alive & ~adj
+        else:
+            forced, forced_winner = c.forced, c.forced_winner
 
         rng, k_search, k_act = jax.random.split(c.rng, 3)
         res = M.run_mcts(
             eval_fn, c.states, k_search, mcfg, add_noise=True,
             logits_eval=logits_eval,
         )
-        temp = temperature_at(c.states.ply, s)
+        # schedule clock: total moves (parallel) vs recorded steps (serial)
+        temp = temperature_at(c.n_rec if serial else c.states.ply, s)
 
         pi = M.action_probs_slots(res, temp)
         boards = c.boards.at[c.t].set(c.states.board)
@@ -222,11 +243,18 @@ def _make_body(
         )
         n_rec = c.n_rec + alive.astype(jnp.int32)
 
-        # resign (reference: parallel_selfplay.py:106-117)
+        # resign: the parallel loop (parallel_selfplay.py:109-121) checks
+        # the post-move state with NO terminal check in between — a resign
+        # that fires on the ending move OVERWRITES its verdict (forced wins
+        # over states.winner in _finalize). The serial loop (train.py:
+        # 271-284) breaks on game-over BEFORE the resign check and gates on
+        # step > 40 instead of >10 recorded samples.
         if s.enable_resign:
             feats = E.v_features(states.board, states.side)
             _, val = eval_fn(feats)
-            gate = alive & ~states.done & (n_rec > 10)
+            gate = alive & (n_rec > (40 if serial else 10))
+            if serial:
+                gate = gate & ~states.done
             resign_run = jnp.where(
                 gate & (val < s.resign_threshold),
                 c.resign_run + 1,
@@ -259,13 +287,23 @@ def _make_body(
 
 
 def _finalize(out: SPCarry, s: SelfPlaySettings) -> SelfPlayOut:
-    # games still alive after T loop iterations: material adjudication
+    # games still alive after T loop iterations hit the move cap:
+    # material adjudication in the parallel loop (parallel_selfplay.py:
+    # 79-89), a plain draw in the serial loop (train.py:286-289)
     leftover = _alive(out)
-    forced_winner = jnp.where(
-        leftover, jax.vmap(_adjudicate)(out.states.board), out.forced_winner
-    )
+    if s.temperature_schedule == "anneal":
+        cap_verdict = jnp.zeros_like(out.forced_winner)
+    else:
+        cap_verdict = jax.vmap(_adjudicate)(out.states.board)
+    forced_winner = jnp.where(leftover, cap_verdict, out.forced_winner)
+    # forced verdicts take precedence over the board's own: the parallel
+    # loop's post-move resign check can overwrite the verdict of a move
+    # that just ended the game (no terminal check between make_action and
+    # the resign break, parallel_selfplay.py:107-121)
     winners = jnp.where(
-        out.states.done, out.states.winner, forced_winner
+        out.forced | leftover,
+        forced_winner,
+        jnp.where(out.states.done, out.states.winner, 0),
     ).astype(jnp.int8)
 
     # z labels vs recorded player (reference: parallel_selfplay.py:120-129)
