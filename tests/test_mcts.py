@@ -27,6 +27,7 @@ from xiangqi_alphazero_tpu.engine.oracle import NSQ, Position
 from xiangqi_alphazero_tpu.search import (
     MCTSConfig,
     action_probs_dense,
+    greedy_slots as M_greedy,
     run_mcts,
     sample_actions,
 )
@@ -211,6 +212,8 @@ def test_exact_match_vs_mirror_random_positions():
         lambda r, k: run_mcts(_jax_eval, r, k, cfg, add_noise=False)
     )
     res = run(roots, jax.random.key(0))
+    greedy = np.asarray(jax.jit(M_greedy)(res))
+    acts_np = np.asarray(res.actions)
     for i, pos in enumerate(cases):
         got = {
             int(a): int(n)
@@ -221,6 +224,12 @@ def test_exact_match_vs_mirror_random_positions():
         }
         want = _py_mcts(pos, 36)
         assert got == want, f"case {i}: batched={got}\nmirror={want}"
+        # temp-0 pick: the reference's max() keeps the FIRST max-visit child
+        # in the insertion-ordered dict (mcts.py:198); greedy_slots must
+        # agree on every position, including visit-count ties
+        best_n = max(want.values())
+        mirror_pick = next(a for a, n in want.items() if n == best_n)
+        assert int(acts_np[i, greedy[i]]) == mirror_pick, f"case {i}"
 
 
 def test_finds_immediate_king_capture():
