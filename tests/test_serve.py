@@ -122,6 +122,36 @@ def test_export_npz_and_torch_roundtrip(tmp_path, tiny_predictor):
     assert abs(v1 - v2) < 1e-4
 
 
+def test_load_model_hot_swap_changes_policy(tmp_path):
+    """Behavioral port of the reference's model-update test
+    (test_gpu_server.py:213-262): after swapping in a model with different
+    weights, the served raw policy must change."""
+    pytest.importorskip("torch")
+    from xiangqi_alphazero_tpu.serve.export import export_torch_checkpoint
+
+    for name, seed in (("net_a.pt", 11), ("net_b.pt", 22)):
+        net, variables = init_net(jax.random.key(seed), channels=8, blocks=1)
+        export_torch_checkpoint(
+            str(tmp_path / name), variables["params"], variables["batch_stats"],
+            {"num_channels": 8, "num_res_blocks": 1},
+        )
+    svc = GameService(model_dirs=[str(tmp_path)])
+    code, res = svc.models()
+    assert code == 200
+    assert {m["name"] for m in res["models"]} >= {"net_a.pt", "net_b.pt"}
+
+    code, _ = svc.load_model({"model_name": "net_a.pt", "num_simulations": 4})
+    assert code == 200
+    p1, _ = svc.predictor.raw_predict(Position())
+    code, _ = svc.load_model({"model_name": "net_b.pt", "num_simulations": 4})
+    assert code == 200
+    p2, _ = svc.predictor.raw_predict(Position())
+    assert not np.allclose(p1, p2)
+
+    code, _ = svc.load_model({"model_name": "nope"})
+    assert code == 404
+
+
 def test_predictor_load_orbax(tmp_path):
     net, variables = init_net(jax.random.key(3), channels=8, blocks=1)
     ckpt.save_best_model(

@@ -66,6 +66,13 @@ class SelfPlaySettings(NamedTuple):
     #   excluded, :249-255); the step cap ends the game as a plain draw
     #   (no adjudication, :286-289); resign gated on step > 40 and only
     #   checked when the game is NOT already over (:271-284).
+    # Deliberate deviation (both modes): a game that ends DURING the random
+    #   opening restarts fresh. The parallel loop does the same (:69-71);
+    #   the serial make_random_opening (train.py:154-165) instead keeps the
+    #   terminal game, which would crash its own move sampling on the zero
+    #   pi the search returns for positions with no legal actions — a
+    #   latent reference bug on an astronomically rare path, not a
+    #   semantic to replicate.
     temperature_schedule: str = "binary"
     random_opening_moves: int = 4
     enable_resign: bool = True
