@@ -232,6 +232,56 @@ def test_exact_match_vs_mirror_random_positions():
         assert int(acts_np[i, greedy[i]]) == mirror_pick, f"case {i}"
 
 
+def test_staged_node_budget_bit_exact(monkeypatch):
+    """The staged node-budget plan (run_mcts re-running its sim loop over
+    segments with a growing static tree, mcts._stage_plan) must be
+    invisible: bit-identical visits/actions vs the single-stage loop, and
+    exact mirror parity through the staged path. Thresholds are patched so
+    staging engages at test-scale sim counts."""
+    from xiangqi_alphazero_tpu.search import mcts as M
+
+    cfg = MCTSConfig(num_simulations=40)
+    roots = E.reset_batch_jit(2)
+
+    assert M._stage_plan(40) == [(0, 40, 41, 42)]
+    res_one = jax.jit(
+        lambda r, k: run_mcts(_jax_eval, r, k, cfg, add_noise=True)
+    )(roots, jax.random.key(7))
+
+    monkeypatch.setattr(M, "_STAGE_AT_2", 8)
+    monkeypatch.setattr(M, "_STAGE_AT_4", 32)
+    plan = M._stage_plan(40)
+    assert len(plan) == 4
+    assert plan[-1][1] == 40 and plan[-1][2] == 41
+    for lo, hi, n_seg, d_seg in plan:
+        assert n_seg >= hi + 1 and d_seg >= hi + 2
+    res_4 = jax.jit(
+        lambda r, k: run_mcts(_jax_eval, r, k, cfg, add_noise=True)
+    )(roots, jax.random.key(7))
+    np.testing.assert_array_equal(
+        np.asarray(res_one.visits), np.asarray(res_4.visits)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_one.actions), np.asarray(res_4.actions)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_one.root_value), np.asarray(res_4.root_value),
+        atol=1e-6,
+    )
+
+    # mirror parity through the staged path (no noise, deterministic)
+    res = jax.jit(
+        lambda r, k: run_mcts(_jax_eval, r, k, cfg, add_noise=False)
+    )(roots, jax.random.key(0))
+    got = {
+        int(a): int(n)
+        for a, n in zip(np.asarray(res.actions[0]), np.asarray(res.visits[0]))
+        if n > 0
+    }
+    want = _py_mcts(Position(), 40)
+    assert got == want
+
+
 def test_finds_immediate_king_capture():
     # Red rook can capture the black king outright; with a value-blind net
     # the +1 terminal reward must dominate the visit distribution.

@@ -63,6 +63,7 @@ Semantics preserved exactly from the reference (training/mcts.py):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, NamedTuple, Tuple
 
 import jax
@@ -86,7 +87,9 @@ class MCTSConfig(NamedTuple):
 class Tree:
     """Per-game search tree, batched on the leading axis. Node i+1 is the
     node created by simulation i (or unreachable garbage if that simulation
-    revisited an existing leaf)."""
+    revisited an existing leaf). The node axis N may be smaller than the
+    final simulation count mid-search: ``run_mcts`` grows it in stages (see
+    ``_stage_plan``)."""
 
     expanded: jax.Array     # bool[B, N]
     terminal: jax.Array     # bool[B, N]
@@ -294,8 +297,8 @@ def _legal_slots_priors(
     return jnp.where(valid, acts, -1), valid, prio
 
 
-def init_tree(batch: int, cfg: MCTSConfig) -> Tree:
-    n = cfg.num_simulations + 1
+def init_tree(batch: int, cfg: MCTSConfig, num_nodes: int | None = None) -> Tree:
+    n = cfg.num_simulations + 1 if num_nodes is None else num_nodes
     k = cfg.max_children
     return Tree(
         expanded=jnp.zeros((batch, n), bool),
@@ -306,6 +309,67 @@ def init_tree(batch: int, cfg: MCTSConfig) -> Tree:
         priors=jnp.zeros((batch, n, k), jnp.float32),
         ew=jnp.zeros((batch, 2, n, k), jnp.float32),
         root_n=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+# Minimum simulation count for 2-stage / 4-stage node-budget growth
+# (module-level so tests can force staging at tiny sim counts).
+_STAGE_AT_2, _STAGE_AT_4 = 64, 160
+
+
+def _stage_plan(num_simulations: int) -> list:
+    """Segment the simulation loop so the tree's static node budget grows
+    with the simulation index instead of sitting at its final size from
+    sim 0.
+
+    Simulation i can only reach nodes 0..i+1 at depth <= i+1, but the dense
+    backup (one-hot contraction + full-array ew add, see Tree.ew) pays
+    O(N x K) HBM traffic at the STATIC budget N every simulation — at 200
+    sims that is 2 x 211 MB per sim from the first one. Re-running the same
+    fori_loop body over a few segments with a growing per-segment budget
+    (tree zero-padded between segments) cuts that traffic ~40% while every
+    shape stays static INSIDE each segment, preserving the in-place
+    conv+add fusion. (The per-sim alternatives — lax.switch tiered
+    prefixes, lax.cond depth caps — measured SLOWER for exactly that
+    fusion reason; see docs/PERF_NOTES.md negative results.)
+
+    Returns [(lo, hi, n_nodes, max_depth)]: run sims [lo, hi) with node
+    budget n_nodes and descent-path capacity max_depth. Invariants: n_nodes
+    >= hi + 1 (sim i writes node row i+1) and max_depth >= hi + 2 (depth
+    <= i+1 always; the cap can never bind, same as the unstaged code).
+    """
+    total = num_simulations
+    stages = 4 if total >= _STAGE_AT_4 else 2 if total >= _STAGE_AT_2 else 1
+    plan, lo = [], 0
+    for s in range(1, stages + 1):
+        hi = -(-total * s // stages)
+        if s == stages:
+            n_seg = total + 1  # final segment: exact full budget
+        else:
+            n_seg = min(total + 1, ((hi + 1 + 7) // 8) * 8)
+        plan.append((lo, hi, n_seg, n_seg + 1))
+        lo = hi
+    return plan
+
+
+def _grow_tree(tree: Tree, n_new: int) -> Tree:
+    """Zero-pad every node-indexed axis from the current budget to n_new.
+    Padded rows are unreachable until a later simulation installs a child
+    pointer, and that simulation fully overwrites its row first."""
+    n_old = tree.expanded.shape[1]
+    if n_new == n_old:
+        return tree
+    g = ((0, 0), (0, n_new - n_old))
+    gk = g + ((0, 0),)
+    return Tree(
+        expanded=jnp.pad(tree.expanded, g),
+        terminal=jnp.pad(tree.terminal, g),
+        term_value=jnp.pad(tree.term_value, g),
+        actions=jnp.pad(tree.actions, gk, constant_values=-1),
+        child=jnp.pad(tree.child, gk),
+        priors=jnp.pad(tree.priors, gk),
+        ew=jnp.pad(tree.ew, ((0, 0),) + gk),
+        root_n=tree.root_n,
     )
 
 
@@ -460,7 +524,7 @@ def run_mcts(
     """
     batch = roots.board.shape[0]
     k = cfg.max_children
-    num_nodes = cfg.num_simulations + 1
+    plan = _stage_plan(cfg.num_simulations)
 
     def slot_priors(board, side, legal, scores):
         """(slot actions, valid, raw prior values) from probs or logits."""
@@ -472,7 +536,7 @@ def run_mcts(
             picked = jnp.exp(picked - m) / z
         return sa, va, picked
 
-    tree = init_tree(batch, cfg)
+    tree = init_tree(batch, cfg, num_nodes=plan[0][2])
 
     # Root priors (+ optional Dirichlet noise), reference mcts.py:107-123.
     feats = E.v_features(roots.board, roots.side)
@@ -501,12 +565,9 @@ def run_mcts(
         expanded=tree.expanded.at[:, 0].set(has_any),
     )
 
-    max_depth = cfg.num_simulations + 2
     descend = jax.vmap(_descend_one, in_axes=(0, 0, None, None))
     bidx = jnp.arange(batch)
-    node_iota = jnp.arange(num_nodes, dtype=jnp.int32)
     slot_iota = jnp.arange(k, dtype=jnp.int32)
-    d_iota = jnp.arange(max_depth, dtype=jnp.int32)
     root_core = _Core(
         board=roots.board, side=roots.side, ply=roots.ply,
         quiet=roots.quiet, hist=roots.hist,
@@ -515,7 +576,9 @@ def run_mcts(
     dummy_done = jnp.zeros((batch,), bool)
     dummy_win = jnp.zeros((batch,), jnp.int8)
 
-    def sim_body(i, tree):
+    def sim_body(node_iota, d_iota, max_depth, i, tree):
+        # node_iota/d_iota/max_depth are the CURRENT SEGMENT's static node
+        # budget and path capacity (see _stage_plan); bound via partial.
         mode, sel_parent, sel_slot, leaf, core, pnode, pslot, depth = descend(
             tree, root_core, cfg.c_puct, max_depth
         )
@@ -611,11 +674,21 @@ def run_mcts(
             root_n=tree.root_n + (mode != _MODE_NOOP).astype(jnp.int32),
         )
 
-    # The barrier stops XLA from sinking the zero-initialized stats into
-    # the loop body as select(i == 0, 0, carry) — a whole-ew-array select
+    # One fori_loop per stage of the node-budget plan, the tree zero-padded
+    # up between stages (see _stage_plan). The barrier before each loop
+    # stops XLA from sinking the zero-init / zero-pad of the stats into the
+    # loop body as select(i == lo, padded, carry) — a whole-ew-array select
     # every simulation (measured 132 ms/move = 12% at standard config).
-    tree = jax.lax.optimization_barrier(tree)
-    tree = jax.lax.fori_loop(0, cfg.num_simulations, sim_body, tree)
+    for lo, hi, n_seg, d_seg in plan:
+        tree = _grow_tree(tree, n_seg)
+        tree = jax.lax.optimization_barrier(tree)
+        body = partial(
+            sim_body,
+            jnp.arange(n_seg, dtype=jnp.int32),
+            jnp.arange(d_seg, dtype=jnp.int32),
+            d_seg,
+        )
+        tree = jax.lax.fori_loop(lo, hi, body, tree)
 
     visits_f = tree.ew[:, 0, 0, :]
     w_root = tree.ew[:, 1, 0, :]
