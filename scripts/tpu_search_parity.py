@@ -46,7 +46,9 @@ def main() -> int:
         opp = jnp.sum(feats[..., 7:14], axis=(1, 2, 3))
         return probs, (own - opp) / 8.0
 
-    cfg = MCTSConfig(num_simulations=48)
+    # 64 sims crosses the staged-node-budget threshold (mcts._STAGE_AT_2),
+    # so the compiled program exercises the 2-stage tree growth on chip.
+    cfg = MCTSConfig(num_simulations=64)
     cases = [_advance_random(p, s) for p, s in
              [(0, 0), (3, 1), (8, 2), (15, 3), (26, 4), (37, 5)]]
     states = [
@@ -64,7 +66,8 @@ def main() -> int:
     for i, pos in enumerate(cases):
         got = {int(a): int(n) for a, n in zip(acts[i], vis[i]) if n > 0}
         want = _py_mcts(
-            pos, 48, raw_probs=uniform_raw, value_fn=exact_value_np
+            pos, cfg.num_simulations,
+            raw_probs=uniform_raw, value_fn=exact_value_np,
         )
         if got != want:
             bad += 1
