@@ -47,7 +47,11 @@ def main() -> int:
         return probs, (own - opp) / 8.0
 
     # 64 sims crosses the staged-node-budget threshold (mcts._STAGE_AT_2),
-    # so the compiled program exercises the 2-stage tree growth on chip.
+    # so the compiled program exercises the 2-stage tree growth on chip;
+    # the batch gate is lowered so the 6-position batch stages too.
+    from xiangqi_alphazero_tpu.search import mcts as _m
+
+    _m._STAGE_MIN_BATCH = 1
     cfg = MCTSConfig(num_simulations=64)
     cases = [_advance_random(p, s) for p, s in
              [(0, 0), (3, 1), (8, 2), (15, 3), (26, 4), (37, 5)]]

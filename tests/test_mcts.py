@@ -244,12 +244,14 @@ def test_staged_node_budget_bit_exact(monkeypatch):
     roots = E.reset_batch_jit(2)
 
     assert M._stage_plan(40) == [(0, 40, 41, 42)]
+    assert M._stage_plan(200, batch=2) == [(0, 200, 201, 202)]  # batch gate
     res_one = jax.jit(
         lambda r, k: run_mcts(_jax_eval, r, k, cfg, add_noise=True)
     )(roots, jax.random.key(7))
 
     monkeypatch.setattr(M, "_STAGE_AT_2", 8)
     monkeypatch.setattr(M, "_STAGE_AT_4", 32)
+    monkeypatch.setattr(M, "_STAGE_MIN_BATCH", 1)
     plan = M._stage_plan(40)
     assert len(plan) == 4
     assert plan[-1][1] == 40 and plan[-1][2] == 41

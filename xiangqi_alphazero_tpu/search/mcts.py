@@ -312,12 +312,15 @@ def init_tree(batch: int, cfg: MCTSConfig, num_nodes: int | None = None) -> Tree
     )
 
 
-# Minimum simulation count for 2-stage / 4-stage node-budget growth
-# (module-level so tests can force staging at tiny sim counts).
+# Minimum simulation count for 2-stage / 4-stage node-budget growth, and
+# minimum BATCH for staging at all — at small batches the whole ew array is
+# tiny (serve searches one game), so extra segments only multiply compile
+# time. Module-level so tests can force staging at tiny scales.
 _STAGE_AT_2, _STAGE_AT_4 = 64, 160
+_STAGE_MIN_BATCH = 64
 
 
-def _stage_plan(num_simulations: int) -> list:
+def _stage_plan(num_simulations: int, batch: int = _STAGE_MIN_BATCH) -> list:
     """Segment the simulation loop so the tree's static node budget grows
     with the simulation index instead of sitting at its final size from
     sim 0.
@@ -339,7 +342,10 @@ def _stage_plan(num_simulations: int) -> list:
     <= i+1 always; the cap can never bind, same as the unstaged code).
     """
     total = num_simulations
-    stages = 4 if total >= _STAGE_AT_4 else 2 if total >= _STAGE_AT_2 else 1
+    if batch < _STAGE_MIN_BATCH:
+        stages = 1
+    else:
+        stages = 4 if total >= _STAGE_AT_4 else 2 if total >= _STAGE_AT_2 else 1
     plan, lo = [], 0
     for s in range(1, stages + 1):
         hi = -(-total * s // stages)
@@ -524,7 +530,7 @@ def run_mcts(
     """
     batch = roots.board.shape[0]
     k = cfg.max_children
-    plan = _stage_plan(cfg.num_simulations)
+    plan = _stage_plan(cfg.num_simulations, batch)
 
     def slot_priors(board, side, legal, scores):
         """(slot actions, valid, raw prior values) from probs or logits."""
