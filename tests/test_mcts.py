@@ -232,6 +232,29 @@ def test_exact_match_vs_mirror_random_positions():
         assert int(acts_np[i, greedy[i]]) == mirror_pick, f"case {i}"
 
 
+def test_stage_plan_invariants():
+    """For every sim count: segments tile [0, total) exactly, node budgets
+    cover the rows each segment's sims write (n >= hi+1), path capacity
+    never binds (d >= hi+2), budgets are monotone, and the final budget is
+    exactly total+1 (same array sizes as the unstaged tree)."""
+    from xiangqi_alphazero_tpu.search.mcts import _stage_plan
+
+    for total in list(range(0, 32)) + [48, 63, 64, 65, 100, 159, 160, 161,
+                                       170, 200, 400, 500, 800]:
+        plan = _stage_plan(total)
+        assert plan[0][0] == 0 and plan[-1][1] == total
+        prev_hi, prev_n = 0, 0
+        for lo, hi, n_seg, d_seg in plan:
+            assert lo == prev_hi and hi >= lo
+            assert n_seg >= hi + 1, (total, plan)
+            assert d_seg >= hi + 2, (total, plan)
+            assert n_seg >= prev_n
+            prev_hi, prev_n = hi, n_seg
+        assert plan[-1][2] == total + 1
+        # batch gate: tiny batches never stage
+        assert len(_stage_plan(total, batch=1)) == 1
+
+
 def test_staged_node_budget_bit_exact(monkeypatch):
     """The staged node-budget plan (run_mcts re-running its sim loop over
     segments with a growing static tree, mcts._stage_plan) must be
