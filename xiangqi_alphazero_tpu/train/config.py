@@ -68,6 +68,10 @@ class TrainingConfig:
     mesh_mode: str = "auto"          # "auto": shard over all global devices
     #   (batch axes padded up to device-count divisibility); "off":
     #   single-device jit
+    model_parallel: int = 1          # >1: 2-D ('data','model') mesh with the
+    #   head Dense layers (policy FC = ~80% of params) Megatron-sharded over
+    #   'model'; learner params + Adam moments live in that layout, actors
+    #   stay replicated (single-process only)
     seed: int = 0
 
     # multi-host (controller-less SPMD over DCN; every host runs this same
@@ -194,6 +198,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int)
     p.add_argument("--temp-schedule", choices=["binary", "anneal"])
     p.add_argument("--mesh-mode", choices=["auto", "off"])
+    p.add_argument("--model-parallel", type=int,
+                   help="shard the head Dense layers over this many devices "
+                        "(2-D data x model mesh)")
     # multi-host bring-up (jax.distributed): run the same command on every
     # host with its own --process-id
     p.add_argument("--coordinator", type=str,
@@ -225,6 +232,7 @@ def config_from_args(args: argparse.Namespace) -> Tuple[TrainingConfig, Optional
         "epochs": "num_epochs",
         "temp_schedule": "temperature_schedule",
         "mesh_mode": "mesh_mode",
+        "model_parallel": "model_parallel",
         "coordinator": "coordinator_address",
         "num_processes": "num_processes",
         "process_id": "process_id",

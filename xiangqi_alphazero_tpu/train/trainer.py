@@ -101,12 +101,44 @@ class AlphaZeroTrainer:
         n_proc = jax.process_count()
         self.is_main = jax.process_index() == 0
         if cfg.mesh_mode == "auto" and (n_dev > 1 or n_proc > 1):
-            self.mesh = SH.make_mesh(axis_name=cfg.mesh_axis)
-            if self.is_main:
+            if cfg.model_parallel > 1:
+                if n_proc > 1:
+                    raise NotImplementedError(
+                        "model_parallel > 1 requires single-process "
+                        "(multi-controller TP placement is not wired)"
+                    )
+                self.mesh = SH.make_tp_mesh(cfg.model_parallel)
                 logger.info(
-                    "data-parallel over %d devices / %d processes (%s)",
-                    n_dev, n_proc, cfg.mesh_axis,
+                    "data x model parallel over %d devices (%d x %d)",
+                    n_dev, n_dev // cfg.model_parallel, cfg.model_parallel,
                 )
+            else:
+                self.mesh = SH.make_mesh(axis_name=cfg.mesh_axis)
+                if self.is_main:
+                    logger.info(
+                        "data-parallel over %d devices / %d processes (%s)",
+                        n_dev, n_proc, cfg.mesh_axis,
+                    )
+        # Tensor parallelism (learner side): the candidate's params and Adam
+        # moments live Megatron-sharded over 'model' (the policy FC is ~80%
+        # of the params); the actors' (best) params stay replicated. Jits
+        # here have no pinned param in_shardings, so the committed layout
+        # flows through train_network as-is; evaluate/selfplay boundaries
+        # reshard explicitly via _as_replicated/_as_tp.
+        self._tp = self.mesh is not None and cfg.model_parallel > 1
+        if self._tp:
+            self.params = SH.tp_place(self.mesh, self.params)
+            self.opt_state = self.tx.init(self.params)  # moments inherit TP
+            # layout-converting COPIES (plain device_put aliases leaves whose
+            # sharding doesn't change, which breaks under later donation)
+            self._to_repl = jax.jit(
+                lambda t: jax.tree.map(jnp.copy, t),
+                out_shardings=SH.replicated(self.mesh),
+            )
+            self._to_tp = jax.jit(
+                lambda t: jax.tree.map(jnp.copy, t),
+                out_shardings=SH.tp_param_shardings(self.mesh, self.params),
+            )
         # multi-host: every jit input must be a global jax.Array; host state
         # (replay buffer, np rng) is replicated by construction — every
         # process computes identical values, so replicated device_put of
@@ -128,7 +160,8 @@ class AlphaZeroTrainer:
         def _pad_to(n: int, d: int) -> int:
             return -(-n // d) * d
 
-        align = n_dev if self.mesh is not None else 1
+        # batch axes shard over the mesh's first ('data') axis only
+        align = self.mesh.devices.shape[0] if self.mesh is not None else 1
         self._sp_batch = _pad_to(cfg.num_games_per_iter, align)
         self._eval_batch = _pad_to(cfg.eval_games, align * 2 if align % 2 else align)
         self._train_cols = _pad_to(cfg.batch_size, align)
@@ -158,6 +191,14 @@ class AlphaZeroTrainer:
     def _next_key(self):
         self.rng, k = jax.random.split(self.rng)
         return k
+
+    def _as_replicated(self, tree):
+        """TP learner params -> replicated COPY (actor/eval layout)."""
+        return self._to_repl(tree) if self._tp else tree
+
+    def _as_tp(self, tree):
+        """Replicated params -> a COPY in the learner's TP layout."""
+        return self._to_tp(tree) if self._tp else tree
 
     def _dev(self, tree):
         """Host values -> jit inputs. Multi-host: replicated global arrays
@@ -261,7 +302,10 @@ class AlphaZeroTrainer:
 
     def evaluate(self) -> Dict:
         t0 = time.time()
-        vars_new = {"params": self.params, "batch_stats": self.batch_stats}
+        vars_new = {
+            "params": self._as_replicated(self.params),
+            "batch_stats": self.batch_stats,
+        }
         vars_old = {"params": self.best_params, "batch_stats": self.best_stats}
         out: EvalOut = self._eval_run(
             self._dev(vars_new), self._dev(vars_old), self._dev(self._next_key())
@@ -283,12 +327,19 @@ class AlphaZeroTrainer:
         win_rate = (new_wins + 0.5 * draws) / max(self.cfg.eval_games, 1)
         updated = win_rate >= self.cfg.eval_win_rate
         if updated:
-            self.best_params = _copy_tree(self.params)
+            # _as_replicated / _as_tp are jitted copies, donation-safe
+            self.best_params = (
+                self._as_replicated(self.params) if self._tp
+                else _copy_tree(self.params)
+            )
             self.best_stats = _copy_tree(self.batch_stats)
             logger.info(">>> best model updated (win_rate %.2f) <<<", win_rate)
         else:
             # candidate failed the gate: reset to incumbent (train.py:532)
-            self.params = _copy_tree(self.best_params)
+            self.params = (
+                self._as_tp(self.best_params) if self._tp
+                else _copy_tree(self.best_params)
+            )
             self.batch_stats = _copy_tree(self.best_stats)
             logger.info("candidate rejected (win_rate %.2f)", win_rate)
         return {
@@ -379,10 +430,14 @@ class AlphaZeroTrainer:
             target.pop("rng_key", None)
             target.pop("np_rng", None)
             restored = ckpt.load_checkpoint(path, target)
-        self.params = jax.tree.map(jnp.asarray, restored["params"])
+        self.params = self._as_tp(
+            jax.tree.map(jnp.asarray, restored["params"])
+        )
         self.batch_stats = jax.tree.map(jnp.asarray, restored["batch_stats"])
         self.best_params = jax.tree.map(jnp.asarray, restored["best_params"])
         self.best_stats = jax.tree.map(jnp.asarray, restored["best_batch_stats"])
+        # Adam moments come back replicated; the first train step's outputs
+        # re-commit them to the TP layout (GSPMD resharding, one-time cost)
         self.opt_state = jax.tree.map(jnp.asarray, restored["opt_state"])
         self.iteration = int(restored["iteration"])
         self.total_games = int(restored["total_games"])
@@ -434,9 +489,14 @@ class AlphaZeroTrainer:
             "iteration": 0,
         }
         restored = ckpt.load_checkpoint(best_model_path, target)
-        self.params = jax.tree.map(jnp.asarray, restored["params"])
+        self.params = self._as_tp(
+            jax.tree.map(jnp.asarray, restored["params"])
+        )
         self.batch_stats = jax.tree.map(jnp.asarray, restored["batch_stats"])
-        self.best_params = _copy_tree(self.params)
+        self.best_params = (
+            self._as_replicated(self.params) if self._tp
+            else _copy_tree(self.params)
+        )
         self.best_stats = _copy_tree(self.batch_stats)
         self.opt_state = self.tx.init(self.params)
         logger.info(
