@@ -23,7 +23,6 @@ from xiangqi_alphazero_tpu.parallel import (
     batch_sharded,
     make_tp_mesh,
     make_tp_train_step,
-    tp_param_shardings,
     tp_place,
 )
 from xiangqi_alphazero_tpu.train.learner import (
@@ -60,6 +59,25 @@ def _batch(b: int, seed: int = 0):
         np.zeros(b, np.float32),
         np.ones(b, np.float32),
     )
+
+
+def test_tp_validation_errors(tmp_path):
+    # 8 does not divide the value-head width 128? it does — but not 8100:
+    # only divisors of gcd(8100, 128) = 4 are accepted
+    with pytest.raises(ValueError, match="must divide"):
+        make_tp_mesh(8)
+    with pytest.raises(ValueError, match="must divide"):
+        make_tp_mesh(3)  # divides 8100 but not 128
+
+    # asking for TP without a mesh must fail loudly, not silently ignore
+    from xiangqi_alphazero_tpu.train import AlphaZeroTrainer, TrainingConfig
+
+    cfg = TrainingConfig(
+        num_channels=8, num_res_blocks=1, mesh_mode="off",
+        model_parallel=2, checkpoint_dir=str(tmp_path / "c"),
+    )
+    with pytest.raises(ValueError, match="model_parallel"):
+        AlphaZeroTrainer(cfg)
 
 
 def test_tp_placement_and_moments(tp_mesh, small_net):

@@ -110,8 +110,19 @@ def make_sharded_eval(net, batch: int, settings: EvalSettings, mesh: Mesh):
 # row-parallel value output psums its partial products — no hand-written
 # collectives (reference has no model parallelism at all; SURVEY §2.2).
 
+# Dimensions the TP specs shard: policy FC out (8100) and value hidden FC
+# out (128) — models/resnet.py. gcd = 4, so model_parallel must be 2 or 4.
+_TP_SHARDED_DIMS = (8100, 128)
+
+
 def make_tp_mesh(n_model: int, num_devices: Optional[int] = None) -> Mesh:
     """2-D ('data','model') mesh: batch over 'data', heads over 'model'."""
+    bad = [d for d in _TP_SHARDED_DIMS if d % n_model]
+    if bad:
+        raise ValueError(
+            f"model_parallel={n_model} must divide the sharded head dims "
+            f"{_TP_SHARDED_DIMS} (valid values: 2 or 4)"
+        )
     devs = jax.devices()
     if num_devices is not None:
         devs = devs[:num_devices]

@@ -62,7 +62,8 @@ class AlphaZeroTrainer:
         self.best_stats = _copy_tree(self.batch_stats)
 
         self.tx = make_optimizer(cfg.learning_rate, cfg.weight_decay)
-        self.opt_state = self.tx.init(self.params)
+        # opt_state is initialized after the (optional) TP placement below so
+        # the Adam moments are allocated once, in their final layout
 
         self.buffer = ReplayBuffer(cfg.max_buffer_size, cfg.max_children)
         self.iteration = 0
@@ -125,10 +126,14 @@ class AlphaZeroTrainer:
         # here have no pinned param in_shardings, so the committed layout
         # flows through train_network as-is; evaluate/selfplay boundaries
         # reshard explicitly via _as_replicated/_as_tp.
+        if cfg.model_parallel > 1 and self.mesh is None:
+            raise ValueError(
+                "model_parallel > 1 needs mesh_mode='auto' and more than one "
+                f"visible device (have {n_dev}, mesh_mode={cfg.mesh_mode!r})"
+            )
         self._tp = self.mesh is not None and cfg.model_parallel > 1
         if self._tp:
             self.params = SH.tp_place(self.mesh, self.params)
-            self.opt_state = self.tx.init(self.params)  # moments inherit TP
             # layout-converting COPIES (plain device_put aliases leaves whose
             # sharding doesn't change, which breaks under later donation)
             self._to_repl = jax.jit(
@@ -139,6 +144,8 @@ class AlphaZeroTrainer:
                 lambda t: jax.tree.map(jnp.copy, t),
                 out_shardings=SH.tp_param_shardings(self.mesh, self.params),
             )
+        # Adam moments zeros_like the params, inheriting their final layout
+        self.opt_state = self.tx.init(self.params)
         # multi-host: every jit input must be a global jax.Array; host state
         # (replay buffer, np rng) is replicated by construction — every
         # process computes identical values, so replicated device_put of
@@ -327,9 +334,11 @@ class AlphaZeroTrainer:
         win_rate = (new_wins + 0.5 * draws) / max(self.cfg.eval_games, 1)
         updated = win_rate >= self.cfg.eval_win_rate
         if updated:
-            # _as_replicated / _as_tp are jitted copies, donation-safe
+            # _as_replicated / _as_tp are jitted copies, donation-safe;
+            # under TP (single-process, so _dev is identity) the replicated
+            # copy made for vars_new above is still live — reuse it
             self.best_params = (
-                self._as_replicated(self.params) if self._tp
+                vars_new["params"] if self._tp
                 else _copy_tree(self.params)
             )
             self.best_stats = _copy_tree(self.batch_stats)
