@@ -46,9 +46,13 @@ def main() -> int:
         opp = jnp.sum(feats[..., 7:14], axis=(1, 2, 3))
         return probs, (own - opp) / 8.0
 
-    # 64 sims crosses the staged-node-budget threshold (mcts._STAGE_AT_2),
-    # so the compiled program exercises the 2-stage tree growth on chip;
-    # the batch gate is lowered so the 6-position batch stages too.
+    # 64 sims crosses the staged-node-budget threshold (mcts._STAGE_AT_2);
+    # the batch gate is lowered so the 6-position batch stages too. Both
+    # staged program shapes production compiles are exercised on chip: the
+    # 2-stage plan (default thresholds) and the 4-stage plan that
+    # standard/full/tpu presets run at 200+ sims (forced here by lowering
+    # _STAGE_AT_4 — the ceil-8 intermediate budgets differ per plan, which
+    # is exactly the shape-dependent class PERF_NOTES 5c miscompiles).
     from xiangqi_alphazero_tpu.search import mcts as _m
 
     _m._STAGE_MIN_BATCH = 1
@@ -60,26 +64,37 @@ def main() -> int:
         for p in cases
     ]
     roots = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-    res = jax.jit(
-        lambda r, k: run_mcts(exact_eval_jax, r, k, cfg, add_noise=False)
-    )(roots, jax.random.key(0))
-    acts = np.asarray(res.actions)
-    vis = np.asarray(res.visits)
-
-    bad = 0
-    for i, pos in enumerate(cases):
-        got = {int(a): int(n) for a, n in zip(acts[i], vis[i]) if n > 0}
-        want = _py_mcts(
+    want = [
+        _py_mcts(
             pos, cfg.num_simulations,
             raw_probs=uniform_raw, value_fn=exact_value_np,
         )
-        if got != want:
-            bad += 1
-            print(f"case {i}: MISMATCH\n  tpu   ={got}\n  mirror={want}")
-    print(
-        f"SEARCH PARITY {'OK' if bad == 0 else 'FAIL'}: "
-        f"{len(cases)} positions x {cfg.num_simulations} sims"
-    )
+        for pos in cases
+    ]
+
+    bad = 0
+    for tag, stage_at_4 in (("2-stage", _m._STAGE_AT_4), ("4-stage", 64)):
+        _m._STAGE_AT_4 = stage_at_4
+        n_seg = len(_m._stage_plan(cfg.num_simulations, batch=len(cases)))
+        assert n_seg == int(tag[0]), (tag, n_seg)
+        res = jax.jit(
+            lambda r, k: run_mcts(exact_eval_jax, r, k, cfg, add_noise=False)
+        )(roots, jax.random.key(0))
+        acts = np.asarray(res.actions)
+        vis = np.asarray(res.visits)
+        for i in range(len(cases)):
+            got = {int(a): int(n) for a, n in zip(acts[i], vis[i]) if n > 0}
+            if got != want[i]:
+                bad += 1
+                print(
+                    f"{tag} case {i}: MISMATCH\n"
+                    f"  tpu   ={got}\n  mirror={want[i]}"
+                )
+        print(
+            f"  {tag}: {len(cases)} positions x {cfg.num_simulations} sims "
+            f"{'ok' if bad == 0 else 'FAIL'}"
+        )
+    print(f"SEARCH PARITY {'OK' if bad == 0 else 'FAIL'}")
     assert bad == 0
     return 0
 

@@ -74,6 +74,44 @@ def test_replay_epoch_covers_all_and_pads():
     assert total_w == 10.0 and len(seen) == 10
 
 
+def _fill(buf, n, seed, start=0):
+    rng = np.random.default_rng(seed)
+    boards = np.zeros((n, 90), np.int8)
+    boards[:, 0] = np.arange(start, start + n) % 120
+    buf.add_games(boards, np.ones(n, np.int8),
+                  rng.integers(0, 8100, (n, buf.k)).astype(np.int32),
+                  np.full((n, buf.k), 1.0 / buf.k, np.float32),
+                  rng.random(n).astype(np.float32), augment=False)
+
+
+def test_replay_state_roundtrip_and_resize():
+    buf = ReplayBuffer(8, max_children=4)
+    _fill(buf, 10, seed=0)  # wrapped: pos=2, newest rows 2..9
+    st = buf.state_dict()
+
+    same = ReplayBuffer(8, max_children=4)
+    same.load_state(st)
+    assert len(same) == 8 and same._pos == buf._pos
+    for a, b in zip(same.arrays(), buf.arrays()):
+        np.testing.assert_array_equal(a, b)
+
+    # shrink: keeps exactly the NEWEST 4 samples, oldest-first order
+    small = ReplayBuffer(4, max_children=4)
+    small.load_state(st)
+    assert len(small) == 4
+    assert sorted(small.boards[:, 0].tolist()) == [6, 7, 8, 9]
+
+    # grow: all 8 survivors, ring cursor ready to append after them
+    big = ReplayBuffer(16, max_children=4)
+    big.load_state(st)
+    assert len(big) == 8 and big._pos == 8
+    assert sorted(big.boards[:8, 0].tolist()) == list(range(2, 10))
+
+    # slot-width change is a config error, not silent corruption
+    with pytest.raises(ValueError):
+        ReplayBuffer(8, max_children=6).load_state(st)
+
+
 def test_train_step_reduces_loss_and_updates():
     net, variables = init_net(jax.random.key(0), channels=8, blocks=1)
     tx = make_optimizer(1e-2, 1e-4)
@@ -125,13 +163,31 @@ def test_end_to_end_iteration(tmp_path):
     pi = tr.buffer.pi_probs[: len(tr.buffer)]
     np.testing.assert_allclose(pi.sum(1), 1.0, rtol=1e-4)
 
-    # resume round-trip
+    # resume round-trip: params AND the replay ring come back bit-exact
+    assert (tmp_path / "ckpt" / "checkpoint_iter1.replay.npz").exists()
     tr2 = AlphaZeroTrainer(cfg)
     tr2.restore(str(tmp_path / "ckpt" / "checkpoint_iter1"))
     assert tr2.iteration == 1
     a = jax.tree.leaves(tr.params)[0]
     b2 = jax.tree.leaves(tr2.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+    assert len(tr2.buffer) == len(tr.buffer)
+    for x, y in zip(tr.buffer.arrays(), tr2.buffer.arrays()):
+        np.testing.assert_array_equal(x, y)
+
+    # full-fidelity resume: iteration 2 continued in-process and iteration 2
+    # resumed from the checkpoint must be IDENTICAL (rng streams, replay
+    # ring, and counters are all checkpointed — the reference can't do this,
+    # its deque restarts cold on resume)
+    s1 = tr.run_iteration()
+    s2 = tr2.run_iteration()
+    assert s1["self_play"]["new_samples"] == s2["self_play"]["new_samples"]
+    for key in ("policy_loss", "value_loss", "batches"):
+        assert s1["training"][key] == s2["training"][key], key
+    for x, y in zip(
+        jax.tree.leaves(tr.params), jax.tree.leaves(tr2.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
 def test_lr_schedule_multistep():

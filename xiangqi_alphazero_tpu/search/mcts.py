@@ -315,12 +315,15 @@ def init_tree(batch: int, cfg: MCTSConfig, num_nodes: int | None = None) -> Tree
 # Minimum simulation count for 2-stage / 4-stage node-budget growth, and
 # minimum BATCH for staging at all — at small batches the whole ew array is
 # tiny (serve searches one game), so extra segments only multiply compile
-# time. Module-level so tests can force staging at tiny scales.
+# time. Module-level so tests can force staging at tiny scales. Known gap:
+# evaluate() searches half-batches (eval_games/2), which at the tpu preset
+# (32 < 64) stay unstaged — tune only with an on-chip trace at that shape
+# (docs/PERF_NOTES.md rule: measure before touching the hot path).
 _STAGE_AT_2, _STAGE_AT_4 = 64, 160
 _STAGE_MIN_BATCH = 64
 
 
-def _stage_plan(num_simulations: int, batch: int = _STAGE_MIN_BATCH) -> list:
+def _stage_plan(num_simulations: int, batch: int | None = None) -> list:
     """Segment the simulation loop so the tree's static node budget grows
     with the simulation index instead of sitting at its final size from
     sim 0.
@@ -342,6 +345,8 @@ def _stage_plan(num_simulations: int, batch: int = _STAGE_MIN_BATCH) -> list:
     <= i+1 always; the cap can never bind, same as the unstaged code).
     """
     total = num_simulations
+    if batch is None:  # late-bound so mutating the knobs works consistently
+        batch = _STAGE_MIN_BATCH
     if batch < _STAGE_MIN_BATCH:
         stages = 1
     else:

@@ -4,8 +4,11 @@ Reference parity (training/train.py:537-579): the full checkpoint carries
 iteration, current and best model states, optimizer state and topology
 config; a separate slim 'best_model' is written for serving/export
 consumers. Resume restores everything and continues the iteration counter.
-The replay buffer is intentionally NOT checkpointed (the reference doesn't
-either — SURVEY.md §5).
+Beyond the reference: the trainer also saves the replay ring next to each
+checkpoint (checkpoint_iterN.replay.npz, plain npz — the reference never
+saves its deque, and a cold-buffer resume measurably stalls continuation
+training, see models/README.md). Disable with checkpoint_replay=0 for
+reference behavior.
 """
 
 from __future__ import annotations

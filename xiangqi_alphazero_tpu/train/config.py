@@ -61,6 +61,11 @@ class TrainingConfig:
     # checkpointing
     checkpoint_dir: str = "checkpoints"
     save_interval: int = 5
+    checkpoint_replay: bool = True   # also save the replay ring next to each
+    #   checkpoint (checkpoint_iterN.replay.npz) so --resume continues from
+    #   the exact buffer, not a cold one (the reference never saves its
+    #   deque; a cold-buffer resume measurably stalls continuation training
+    #   — see models/README.md)
 
     # TPU execution
     dtype: str = "bfloat16"          # network compute dtype
@@ -194,6 +199,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--eval-games", type=int)
     p.add_argument("--eval-interval", type=int)
     p.add_argument("--save-interval", type=int)
+    p.add_argument("--checkpoint-replay", type=int, choices=[0, 1],
+                   help="1 (default): save/restore the replay ring with "
+                        "each checkpoint; 0: reference behavior (cold "
+                        "buffer on resume)")
     p.add_argument("--min-buffer", type=int)
     p.add_argument("--epochs", type=int)
     p.add_argument("--temp-schedule", choices=["binary", "anneal"])
@@ -228,6 +237,7 @@ def config_from_args(args: argparse.Namespace) -> Tuple[TrainingConfig, Optional
         "eval_games": "eval_games",
         "eval_interval": "eval_interval",
         "save_interval": "save_interval",
+        "checkpoint_replay": "checkpoint_replay",
         "min_buffer": "min_buffer_size",
         "epochs": "num_epochs",
         "temp_schedule": "temperature_schedule",
@@ -241,4 +251,5 @@ def config_from_args(args: argparse.Namespace) -> Tuple[TrainingConfig, Optional
         v = getattr(args, arg_name, None)
         if v is not None:
             setattr(cfg, field, v)
+    cfg.checkpoint_replay = bool(cfg.checkpoint_replay)
     return cfg, args.resume

@@ -70,6 +70,56 @@ class ReplayBuffer:
             n *= 2
         return n
 
+    def state_dict(self) -> dict:
+        """Full ring state (storage arrays + cursor) for checkpointing.
+        The reference does NOT checkpoint its replay deque (reference:
+        train.py:537-554) — resuming there always restarts from a cold
+        buffer at an LR-schedule position the original run reached with a
+        full one (measured to stall continuation training; see
+        models/README.md). Saving the ring makes resume bit-exact."""
+        return {
+            "boards": self.boards,
+            "sides": self.sides,
+            "pi_actions": self.pi_actions,
+            "pi_probs": self.pi_probs,
+            "values": self.values,
+            "size": np.int64(self.size),
+            "pos": np.int64(self._pos),
+        }
+
+    def load_state(self, state) -> None:
+        """Restore a ``state_dict``. A capacity change re-inserts the valid
+        samples oldest-first so a smaller ring keeps the NEWEST ones (the
+        same samples the old ring would have kept); mirror augmentation is
+        not reapplied (the saved rows already include the mirrors)."""
+        src_k = state["pi_actions"].shape[1]
+        if src_k != self.k:
+            raise ValueError(
+                f"replay slot width mismatch: checkpoint k={src_k}, "
+                f"buffer k={self.k} (max_children changed)"
+            )
+        src_cap = state["boards"].shape[0]
+        size, pos = int(state["size"]), int(state["pos"])
+        if src_cap == self.capacity:
+            for name in ("boards", "sides", "pi_actions", "pi_probs",
+                         "values"):
+                getattr(self, name)[:] = state[name]
+            self.size, self._pos = size, pos
+            return
+        # chronological oldest -> newest, newest `capacity` rows kept
+        order = (
+            (pos + np.arange(size)) % src_cap if size == src_cap
+            else np.arange(size)
+        )[-self.capacity:]
+        self.size = self._pos = 0
+        self._insert(
+            state["boards"][order],
+            state["sides"][order],
+            state["pi_actions"][order],
+            state["pi_probs"][order],
+            state["values"][order],
+        )
+
     def arrays(self) -> Tuple[np.ndarray, ...]:
         """The FULL fixed-capacity storage arrays (static shapes for jit —
         only rows < len(self) are valid; index through an epoch_plan)."""

@@ -402,6 +402,11 @@ class AlphaZeroTrainer:
             },
         }
         path = ckpt.save_checkpoint(self.cfg.checkpoint_dir, self.iteration, payload)
+        if self.cfg.checkpoint_replay and jax.process_index() == 0:
+            # the ring is replicated across hosts by construction (every
+            # process plays the identical lockstep fleet), so one writer
+            # suffices; plain npz — host numpy, no device arrays
+            np.savez(path + ".replay.npz", **self.buffer.state_dict())
         if is_best:
             ckpt.save_best_model(
                 self.cfg.checkpoint_dir,
@@ -455,6 +460,13 @@ class AlphaZeroTrainer:
                 jnp.asarray(restored["rng_key"])
             )
             self.np_rng = self._unpack_np_rng(np.asarray(restored["np_rng"]))
+        replay_path = os.path.abspath(path).rstrip("/") + ".replay.npz"
+        if self.cfg.checkpoint_replay and os.path.exists(replay_path):
+            with np.load(replay_path) as z:
+                self.buffer.load_state({k: z[k] for k in z.files})
+            logger.info(
+                "replay ring restored: %d samples", len(self.buffer)
+            )
         logger.info("restored %s at iteration %d", path, self.iteration)
 
     def run_iteration(self) -> Dict:
