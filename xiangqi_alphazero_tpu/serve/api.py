@@ -3,8 +3,16 @@
 Endpoint-for-endpoint parity with the reference Flask backend
 (reference: demo/app.py:135-319): GET /api/models, POST /api/load_model,
 POST /api/new_game, POST /api/human_move, POST /api/get_legal_moves,
-GET /api/game_state, and / serving the static board UI. Single global game,
-no sessions — same scope as the reference (demo/app.py:40-48).
+GET /api/game_state, and / serving the static board UI. The global-game
+endpoints keep the reference's single-game semantics (demo/app.py:40-48).
+
+Beyond the reference: /api/session/* serves MANY concurrent games against
+one loaded model, with every in-flight AI reply coalesced into one fused
+device search (serve/sessions.py). Session requests do NOT serialize on
+the global lock — concurrency is the point; each session has its own lock
+and the coalescing window turns simultaneous load into device batch.
+Session games share the loaded model's simulation depth (per-session sims
+would fragment the compiled program shapes).
 
 Implemented on http.server (Flask isn't a framework dependency); the handler
 delegates to a plain ``GameService`` object that is also directly usable in
@@ -22,6 +30,7 @@ from typing import Dict, List, Optional, Tuple
 
 from ..engine.oracle import Position, encode_action
 from .predictor import Predictor, find_models
+from .sessions import BatchedSearcher, SessionManager
 
 _STATIC_DIR = os.path.join(os.path.dirname(__file__), "static")
 
@@ -37,6 +46,10 @@ class GameService:
         self.human_side = 1
         self.num_simulations = 500
         self.lock = threading.Lock()
+        # multi-session serving (beyond the reference's one global game)
+        self.sessions = SessionManager()
+        self.searcher: Optional[BatchedSearcher] = None
+        self.search_batch_max = 8
         # shutdown stats, like the reference inference server's req/s
         # report (inference_server.py:282-286)
         self.started = time.time()
@@ -65,6 +78,13 @@ class GameService:
             # (reference server warmup: inference_server.py:101-107)
             self.predictor.warmup()
             self.model_name = name
+            # swap the session searcher onto the new model; in-flight
+            # session requests finish on the old one before it stops
+            old, self.searcher = self.searcher, BatchedSearcher(
+                self.predictor, max_batch=self.search_batch_max
+            )
+            if old is not None:
+                old.stop()
             return 200, {"success": True, "model_name": name, "device": "tpu"}
         except Exception as e:  # noqa: BLE001 — surfaced to the client
             return 500, {"error": str(e)}
@@ -126,11 +146,19 @@ class GameService:
     def stats_line(self) -> str:
         dt = max(time.time() - self.started, 1e-9)
         avg = self.ai_time / max(self.ai_moves, 1)
-        return (
+        line = (
             f"served {self.requests} requests in {dt:.0f}s "
             f"({self.requests / dt:.2f} req/s), {self.ai_moves} AI moves "
             f"(avg {avg:.2f}s, {self.num_simulations} sims)"
         )
+        if self.searcher is not None and self.searcher.num_batches:
+            st = self.searcher.stats()
+            line += (
+                f"; session search: {st['requests']} searches in "
+                f"{st['batches']} device batches "
+                f"(mean batch {st['mean_batch']})"
+            )
+        return line
 
     def get_legal_moves(self, data: Dict) -> Tuple[int, Dict]:
         if self.game is None:
@@ -157,6 +185,108 @@ class GameService:
             "move_count": self.game.ply,
         }
 
+    # ------------------------------------------------------- session mode
+    # Beyond the reference: concurrent games, AI replies coalesced into one
+    # fused device search (serve/sessions.py). These handlers run WITHOUT
+    # the global lock — only the per-session lock — so simultaneous moves
+    # from different sessions overlap inside the coalescing window.
+
+    def _session_payload(self, s, extra: Optional[Dict] = None) -> Dict:
+        done, winner = s.pos.result()
+        out = {
+            "session_id": s.sid,
+            "board": s.pos.board_array().reshape(10, 9).tolist(),
+            "current_player": s.pos.side,
+            "human_side": s.human_side,
+            "game_over": done,
+            "winner": int(winner) if winner else None,
+            "move_count": s.pos.ply,
+        }
+        if extra:
+            out.update(extra)
+        return out
+
+    def _session_ai_reply(self, s, searcher: BatchedSearcher) -> Dict:
+        t0 = time.time()
+        search = searcher.search(s.pos.copy())
+        out = self.predictor.ai_move_from_search(s.pos, search)
+        with self.lock:
+            self.ai_moves += 1
+            self.ai_time += time.time() - t0
+        return out
+
+    def session_new(self, data: Dict) -> Tuple[int, Dict]:
+        searcher = self.searcher
+        if searcher is None:
+            return 400, {"error": "no model loaded"}
+        human_side = 1 if data.get("human_side", "red") == "red" else -1
+        s = self.sessions.create(human_side)
+        with s.lock:
+            result = self._session_payload(s, {"ai_analysis": None})
+            if human_side == -1:
+                result.update(self._session_ai_reply(s, searcher))
+                result["session_id"] = s.sid
+                result["move_count"] = s.pos.ply
+        return 200, result
+
+    def session_move(self, data: Dict) -> Tuple[int, Dict]:
+        searcher = self.searcher
+        s = self.sessions.get(str(data.get("session_id")))
+        if s is None:
+            return 404, {"error": "no such session (expired or closed)"}
+        if searcher is None:
+            return 400, {"error": "no model loaded"}
+        with s.lock:
+            if s.pos.side != s.human_side:
+                return 400, {"error": "not your turn"}
+            a = encode_action(
+                data["from_row"], data["from_col"],
+                data["to_row"], data["to_col"],
+            )
+            if a not in s.pos.legal_actions():
+                return 400, {"error": "illegal move"}
+            s.pos.apply(a)
+            done, _ = s.pos.result()
+            result = self._session_payload(s, {"ai_analysis": None})
+            if not done:
+                result.update(self._session_ai_reply(s, searcher))
+                result["session_id"] = s.sid
+                result["move_count"] = s.pos.ply
+        return 200, result
+
+    def session_legal_moves(self, data: Dict) -> Tuple[int, Dict]:
+        s = self.sessions.get(str(data.get("session_id")))
+        if s is None:
+            return 404, {"error": "no such session (expired or closed)"}
+        fr, fc = data["row"], data["col"]
+        with s.lock:
+            moves = [
+                {"to_row": tr, "to_col": tc}
+                for mfr, mfc, tr, tc in s.pos.legal_moves()
+                if (mfr, mfc) == (fr, fc)
+            ]
+        return 200, {"moves": moves}
+
+    def session_state(self, data: Dict) -> Tuple[int, Dict]:
+        s = self.sessions.get(str(data.get("session_id")))
+        if s is None:
+            return 404, {"error": "no such session (expired or closed)"}
+        with s.lock:
+            return 200, self._session_payload(s)
+
+    def session_close(self, data: Dict) -> Tuple[int, Dict]:
+        ok = self.sessions.close(str(data.get("session_id")))
+        return (200, {"closed": True}) if ok else (
+            404, {"error": "no such session (expired or closed)"}
+        )
+
+    def session_stats(self) -> Tuple[int, Dict]:
+        searcher = self.searcher
+        return 200, {
+            "active_sessions": self.sessions.count(),
+            "search": searcher.stats() if searcher else None,
+        }
+
 
 def make_handler(service: GameService):
     routes_post = {
@@ -164,6 +294,15 @@ def make_handler(service: GameService):
         "/api/new_game": service.new_game,
         "/api/human_move": service.human_move,
         "/api/get_legal_moves": service.get_legal_moves,
+    }
+    # session routes run OUTSIDE the global lock (per-session locks inside)
+    # so concurrent games' searches can coalesce — see module docstring
+    routes_session = {
+        "/api/session/new": service.session_new,
+        "/api/session/move": service.session_move,
+        "/api/session/legal_moves": service.session_legal_moves,
+        "/api/session/state": service.session_state,
+        "/api/session/close": service.session_close,
     }
 
     class Handler(BaseHTTPRequestHandler):
@@ -188,6 +327,10 @@ def make_handler(service: GameService):
                     service.requests += 1
                     out = service.game_state()
                 self._send(*out)
+            elif self.path == "/api/session/stats":
+                with service.lock:
+                    service.requests += 1
+                self._send(*service.session_stats())
             elif self.path == "/" or self.path == "/app" or (
                 self.path.endswith((".html", ".js", ".css"))
             ):
@@ -219,7 +362,8 @@ def make_handler(service: GameService):
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):  # noqa: N802
-            fn = routes_post.get(self.path)
+            session_fn = routes_session.get(self.path)
+            fn = session_fn or routes_post.get(self.path)
             if fn is None:
                 self._send(404, {"error": "not found"})
                 return
@@ -230,9 +374,14 @@ def make_handler(service: GameService):
                 self._send(400, {"error": "invalid JSON body"})
                 return
             try:
-                with service.lock:
-                    service.requests += 1
-                    out = fn(data)
+                if session_fn is not None:
+                    with service.lock:
+                        service.requests += 1
+                    out = fn(data)  # concurrent by design
+                else:
+                    with service.lock:
+                        service.requests += 1
+                        out = fn(data)
                 self._send(*out)
             except (KeyError, TypeError, ValueError) as e:
                 self._send(400, {"error": f"bad request: {e!r}"})

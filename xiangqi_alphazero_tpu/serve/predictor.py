@@ -198,14 +198,49 @@ class Predictor:
             np.asarray(res.order[0]),
         )
 
+    def search_batch(
+        self, positions: List[Position], pad_to: Optional[int] = None
+    ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """One fused device search over several independent positions.
+
+        Every search lane is numerically independent (no cross-lane
+        reductions; batch-norm runs on frozen inference statistics), so each
+        lane's (actions, visits) is IDENTICAL to what a batch-1
+        ``search_position`` on that position returns — pinned by
+        tests/test_sessions.py. ``pad_to`` fixes the compiled program shape
+        (pad lanes replay positions[0] and are dropped); without it the jit
+        cache keys on len(positions)."""
+        n = len(positions)
+        width = max(pad_to or n, n)
+        padded = positions + [positions[0]] * (width - n)
+        states = [state_from_position(p) for p in padded]
+        state_b = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *states
+        )
+        res = self._search(self.variables, state_b, jax.random.key(0))
+        actions = np.asarray(res.actions)
+        visits = np.asarray(res.visits)
+        order = np.asarray(res.order)
+        return [(actions[i], visits[i], order[i]) for i in range(n)]
+
     # ------------------------------------------------------------ analysis
     def ai_move(self, pos: Position) -> Dict:
         """Pick the greedy move and produce the analysis payload
-        (reference: demo/app.py:322-387). Deviation from the reference:
-        'prob' is the visit-proportional search distribution rather than the
-        reference's temp-0 one-hot, so top_moves is informative; fields and
-        structure are identical."""
-        actions, visits, mg_order = self.search_position(pos)
+        (reference: demo/app.py:322-387)."""
+        return self.ai_move_from_search(pos, self.search_position(pos))
+
+    def ai_move_from_search(
+        self,
+        pos: Position,
+        search: Tuple[np.ndarray, np.ndarray, np.ndarray],
+    ) -> Dict:
+        """Analysis payload from an already-run search — lets the session
+        server coalesce many games' searches into one device program and
+        build each game's payload from its lane. Deviation from the
+        reference: 'prob' is the visit-proportional search distribution
+        rather than the reference's temp-0 one-hot, so top_moves is
+        informative; fields and structure are identical."""
+        actions, visits, mg_order = search
         raw_policy, value_score = self.raw_predict(pos)
         legal = set(pos.legal_actions())
 
