@@ -118,6 +118,16 @@ def server():
         load_model = new_game = human_move = get_legal_moves = staticmethod(
             lambda data: (400, {"error": "stub"})
         )
+        session_new = session_move = session_legal_moves = staticmethod(
+            lambda data: (400, {"error": "stub"})
+        )
+        session_state = session_close = staticmethod(
+            lambda data: (400, {"error": "stub"})
+        )
+
+        @staticmethod
+        def session_stats():
+            return 200, {"active_sessions": 0, "search": None}
 
     svc = _Svc()
     httpd = ThreadingHTTPServer(

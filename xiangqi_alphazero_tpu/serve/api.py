@@ -67,6 +67,10 @@ class GameService:
 
     def load_model(self, data: Dict) -> Tuple[int, Dict]:
         name = data.get("model_name")
+        if "num_simulations" in data:
+            self.num_simulations = max(
+                10, min(10000, int(data["num_simulations"]))
+            )
         found = [m for m in find_models(self.model_dirs) if m["name"] == name]
         if not found:
             return 404, {"error": f"model {name} not found"}

@@ -23,6 +23,10 @@ const DIGITS_R = ["一", "二", "三", "四", "五", "六", "七", "八", "九"]
 
 const S = {
   mode: "browser",        // "browser" | "server"
+  sessionId: null,        // server games run in their own session, so many
+  //                         browsers can play the model concurrently (the
+  //                         server coalesces their searches into one
+  //                         device batch — /api/session/*)
   level: 2,
   humanSide: 1,
   board: XQ.initialBoard(),
@@ -144,7 +148,8 @@ async function serverHumanMove(from, to) {
   S.thinking = true;
   render();
   try {
-    const d = await api("/api/human_move", {
+    const d = await api("/api/session/move", {
+      session_id: S.sessionId,
       from_row: Math.floor(from / 9), from_col: from % 9,
       to_row: Math.floor(to / 9), to_col: to % 9,
     });
@@ -208,11 +213,15 @@ async function newGame() {
   if (S.mode === "server") {
     S.thinking = true;
     render();
+    if (S.sessionId) {  // don't leak the old game until its TTL
+      api("/api/session/close", { session_id: S.sessionId }).catch(() => {});
+      S.sessionId = null;
+    }
     try {
-      const d = await api("/api/new_game", {
+      const d = await api("/api/session/new", {
         human_side: S.humanSide > 0 ? "red" : "black",
-        num_simulations: S.sims,
       });
+      S.sessionId = d.session_id;
       S.board = Int8Array.from(d.board.flat());
       S.current = d.current_player;
       if (d.ai_move) {
@@ -274,7 +283,8 @@ root.innerHTML = `
     <div class="row" id="server-row" hidden>
       <label>模型</label><select id="models"></select>
       <label>模拟</label>
-      <input id="sims" type="number" min="10" max="10000" value="200" style="width:84px">
+      <input id="sims" type="number" min="10" max="10000" value="200" style="width:84px"
+             title="模拟次数在加载模型时生效（会话共享同一编译程序）">
     </div>
     <div class="row"><label>执子</label>
       <div class="seg" id="side-seg">
@@ -328,7 +338,7 @@ $("sims").addEventListener("change", (e) => { S.sims = +e.target.value || 200; }
 $("models").addEventListener("change", async (e) => {
   if (!e.target.value) return;
   S.thinking = true; render();
-  try { await api("/api/load_model", { model_name: e.target.value }); S.model = e.target.value; S.error = null; }
+  try { await api("/api/load_model", { model_name: e.target.value, num_simulations: S.sims }); S.model = e.target.value; S.error = null; }
   catch (err) { S.error = err.message; }
   S.thinking = false; render();
 });
