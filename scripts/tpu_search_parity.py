@@ -82,17 +82,19 @@ def main() -> int:
         )(roots, jax.random.key(0))
         acts = np.asarray(res.actions)
         vis = np.asarray(res.visits)
+        plan_bad = 0
         for i in range(len(cases)):
             got = {int(a): int(n) for a, n in zip(acts[i], vis[i]) if n > 0}
             if got != want[i]:
-                bad += 1
+                plan_bad += 1
                 print(
                     f"{tag} case {i}: MISMATCH\n"
                     f"  tpu   ={got}\n  mirror={want[i]}"
                 )
+        bad += plan_bad
         print(
             f"  {tag}: {len(cases)} positions x {cfg.num_simulations} sims "
-            f"{'ok' if bad == 0 else 'FAIL'}"
+            f"{'ok' if plan_bad == 0 else 'FAIL'}"
         )
     print(f"SEARCH PARITY {'OK' if bad == 0 else 'FAIL'}")
     assert bad == 0

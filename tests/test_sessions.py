@@ -83,10 +83,14 @@ def test_batched_searcher_coalesces_and_matches(tiny_predictor):
             t.start()
         for t in threads:
             t.join(timeout=120)
-        for got, want in zip(results, solo):
-            assert got is not None
-            for g, w in zip(got, want):
+        for got, want, pos in zip(results, solo, positions):
+            assert got is not None and len(got) == 5
+            for g, w in zip(got[:3], want):
                 np.testing.assert_array_equal(g, w)
+            # the coalesced raw forward matches the solo single-state one
+            rp, rv = tiny_predictor.raw_predict(pos)
+            np.testing.assert_allclose(got[3], rp, atol=1e-6)
+            assert abs(got[4] - rv) < 1e-6
         st = searcher.stats()
         assert st["requests"] == 3
         # the 150 ms window must have coalesced at least two of the three
@@ -101,6 +105,56 @@ def test_batched_searcher_stop_rejects_new(tiny_predictor):
     searcher.stop()
     with pytest.raises(RuntimeError):
         searcher.search(Position())
+
+
+def test_session_move_rolls_back_on_search_failure(tiny_predictor):
+    """A failed AI reply must not strand the session with the human's move
+    applied (side-to-move stuck at the AI forever) — the move rolls back,
+    the client gets a JSON 503, and the game stays playable."""
+    svc = GameService(model_dirs=[])
+    svc.predictor = tiny_predictor
+    svc.searcher = BatchedSearcher(tiny_predictor, max_batch=2, window_ms=1.0)
+    code, g = svc.session_new({"human_side": "red"})
+    assert code == 200
+    sid = g["session_id"]
+    svc.searcher.stop()  # every subsequent search raises
+    code, out = svc.session_move(
+        {"session_id": sid, "from_row": 3, "from_col": 0,
+         "to_row": 4, "to_col": 0}
+    )
+    assert code == 503 and "error" in out
+    s = svc.sessions.get(sid)
+    assert s.pos.ply == 0 and s.pos.side == 1  # human move rolled back
+    # recovery: a working searcher accepts the same move again
+    svc.searcher = BatchedSearcher(tiny_predictor, max_batch=2, window_ms=1.0)
+    try:
+        code, out = svc.session_move(
+            {"session_id": sid, "from_row": 3, "from_col": 0,
+             "to_row": 4, "to_col": 0}
+        )
+        assert code == 200 and out["move_count"] == 2
+    finally:
+        svc.searcher.stop()
+
+
+def test_global_new_game_depth_change_leaves_sessions_alone(tiny_predictor):
+    """The global new_game re-depths only its own predictor clone: the
+    session searcher keeps the predictor (and compiled programs) it was
+    built with."""
+    svc = GameService(model_dirs=[])
+    svc.predictor = tiny_predictor
+    svc.searcher = BatchedSearcher(tiny_predictor, max_batch=2, window_ms=1.0)
+    try:
+        code, _ = svc.new_game({"human_side": "red", "num_simulations": 24})
+        assert code == 200
+        assert svc.predictor is not tiny_predictor
+        assert svc.predictor.num_simulations == 24
+        assert svc.searcher.predictor is tiny_predictor
+        assert svc.searcher.predictor.num_simulations == 12
+        # the depth clone shares the params and the compiled forward
+        assert svc.predictor.variables is tiny_predictor.variables
+    finally:
+        svc.searcher.stop()
 
 
 def test_session_manager_ttl_and_eviction():

@@ -103,8 +103,9 @@ def server():
     """Stub service behind the real HTTP handler; yields (url, svc) so
     tests can read the service's counters directly."""
 
-    class _Svc:  # handler needs lock/requests + the route callables
+    class _Svc:  # handler needs locks/requests + the route callables
         lock = threading.Lock()
+        stats_lock = threading.Lock()
         requests = 0
 
         @staticmethod

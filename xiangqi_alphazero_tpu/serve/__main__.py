@@ -22,6 +22,11 @@ def main(argv=None) -> int:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=5000)
     ap.add_argument("--model-dirs", nargs="*", default=None)
+    ap.add_argument(
+        "--warm-session-buckets", action="store_true",
+        help="pre-compile every session-coalescing batch shape at model "
+             "load (slower load, no compile stall on first coalesce)",
+    )
 
     ep = sub.add_parser("export", help="export a trained model")
     ep.add_argument("--checkpoint", required=True)
@@ -41,7 +46,8 @@ def main(argv=None) -> int:
     if args.cmd == "api":
         from .api import serve
 
-        serve(args.host, args.port, args.model_dirs)
+        serve(args.host, args.port, args.model_dirs,
+              warm_sessions=args.warm_session_buckets)
         return 0
 
     from .export import (

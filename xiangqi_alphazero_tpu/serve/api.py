@@ -38,7 +38,11 @@ _STATIC_DIR = os.path.join(os.path.dirname(__file__), "static")
 class GameService:
     """The API's logic, transport-free."""
 
-    def __init__(self, model_dirs: Optional[List[str]] = None):
+    def __init__(
+        self,
+        model_dirs: Optional[List[str]] = None,
+        warm_sessions: bool = False,
+    ):
         self.model_dirs = model_dirs or ["models", "checkpoints"]
         self.predictor: Optional[Predictor] = None
         self.model_name: Optional[str] = None
@@ -50,9 +54,17 @@ class GameService:
         self.sessions = SessionManager()
         self.searcher: Optional[BatchedSearcher] = None
         self.search_batch_max = 8
+        # pre-compile every coalescing bucket at model load (minutes of
+        # extra load time; otherwise the first clients to coalesce at each
+        # width pay the compile — the persistent XLA cache makes either
+        # choice cheap on later server starts)
+        self.warm_sessions = warm_sessions
         # shutdown stats, like the reference inference server's req/s
-        # report (inference_server.py:282-286)
+        # report (inference_server.py:282-286). Counters use their own
+        # lock: session handlers must never queue behind the global lock
+        # (which load_model holds across minutes of XLA warmup).
         self.started = time.time()
+        self.stats_lock = threading.Lock()
         self.requests = 0
         self.ai_moves = 0
         self.ai_time = 0.0
@@ -67,26 +79,35 @@ class GameService:
 
     def load_model(self, data: Dict) -> Tuple[int, Dict]:
         name = data.get("model_name")
+        found = [m for m in find_models(self.model_dirs) if m["name"] == name]
+        if not found:
+            return 404, {"error": f"model {name} not found"}
+        # only a VALID load may change the serving depth — a 404 must not
+        # leave a different depth behind for the next successful load
         if "num_simulations" in data:
             self.num_simulations = max(
                 10, min(10000, int(data["num_simulations"]))
             )
-        found = [m for m in find_models(self.model_dirs) if m["name"] == name]
-        if not found:
-            return 404, {"error": f"model {name} not found"}
         try:
-            self.predictor = Predictor.load(
+            # build + warm the new predictor/searcher fully BEFORE
+            # publishing either, so a failure leaves the old pair intact
+            # and the two can never disagree about the model
+            predictor = Predictor.load(
                 found[0]["path"], num_simulations=self.num_simulations
             )
             # compile forward + search now, not on the first human move
             # (reference server warmup: inference_server.py:101-107)
-            self.predictor.warmup()
-            self.model_name = name
-            # swap the session searcher onto the new model; in-flight
-            # session requests finish on the old one before it stops
-            old, self.searcher = self.searcher, BatchedSearcher(
-                self.predictor, max_batch=self.search_batch_max
+            predictor.warmup()
+            searcher = BatchedSearcher(
+                predictor, max_batch=self.search_batch_max
             )
+            if self.warm_sessions:
+                searcher.warmup()
+            # publish, then let in-flight session requests finish on the
+            # old searcher before it stops
+            old = self.searcher
+            self.predictor, self.searcher = predictor, searcher
+            self.model_name = name
             if old is not None:
                 old.stop()
             return 200, {"success": True, "model_name": name, "device": "tpu"}
@@ -101,8 +122,13 @@ class GameService:
             self.predictor is not None
             and self.predictor.num_simulations != self.num_simulations
         ):
-            self.predictor.num_simulations = self.num_simulations
-            self.predictor.__dict__.pop("_search", None)  # re-jit at new depth
+            # a depth-clone shares the params/forward but gets its own
+            # search jit cache — the session searcher keeps the predictor
+            # it was built with, so live sessions never change depth or
+            # recompile because the GLOBAL game picked a different one
+            self.predictor = self.predictor.with_simulations(
+                self.num_simulations
+            )
             self.predictor.warmup()  # compile now, not on the first move
         self.game = Position()
         result = {
@@ -143,8 +169,9 @@ class GameService:
     def _timed_ai_move(self) -> Dict:
         t0 = time.time()
         out = self.predictor.ai_move(self.game)
-        self.ai_moves += 1
-        self.ai_time += time.time() - t0
+        with self.stats_lock:
+            self.ai_moves += 1
+            self.ai_time += time.time() - t0
         return out
 
     def stats_line(self) -> str:
@@ -211,10 +238,15 @@ class GameService:
         return out
 
     def _session_ai_reply(self, s, searcher: BatchedSearcher) -> Dict:
+        # searcher.predictor, not self.predictor: a concurrent load_model /
+        # new_game may swap self.predictor mid-request, and the reply's
+        # analysis must come from the same model that ran the search
         t0 = time.time()
-        search = searcher.search(s.pos.copy())
-        out = self.predictor.ai_move_from_search(s.pos, search)
-        with self.lock:
+        *search, raw_p, raw_v = searcher.search(s.pos.copy())
+        out = searcher.predictor.ai_move_from_search(
+            s.pos, tuple(search), raw=(raw_p, raw_v)
+        )
+        with self.stats_lock:
             self.ai_moves += 1
             self.ai_time += time.time() - t0
         return out
@@ -228,7 +260,11 @@ class GameService:
         with s.lock:
             result = self._session_payload(s, {"ai_analysis": None})
             if human_side == -1:
-                result.update(self._session_ai_reply(s, searcher))
+                try:
+                    result.update(self._session_ai_reply(s, searcher))
+                except Exception as e:  # noqa: BLE001 — device/searcher
+                    self.sessions.close(s.sid)
+                    return 503, {"error": f"AI reply failed: {e}"}
                 result["session_id"] = s.sid
                 result["move_count"] = s.pos.ply
         return 200, result
@@ -249,11 +285,18 @@ class GameService:
             )
             if a not in s.pos.legal_actions():
                 return 400, {"error": "illegal move"}
+            before = s.pos.copy()
             s.pos.apply(a)
             done, _ = s.pos.result()
             result = self._session_payload(s, {"ai_analysis": None})
             if not done:
-                result.update(self._session_ai_reply(s, searcher))
+                try:
+                    result.update(self._session_ai_reply(s, searcher))
+                except Exception as e:  # noqa: BLE001 — device/searcher
+                    # roll the human move back so the game stays playable
+                    # (otherwise side-to-move is stuck at the AI forever)
+                    s.pos = before
+                    return 503, {"error": f"AI reply failed: {e}"}
                 result["session_id"] = s.sid
                 result["move_count"] = s.pos.ply
         return 200, result
@@ -322,17 +365,19 @@ def make_handler(service: GameService):
             # compute under the lock, WRITE outside it: a stalled client
             # socket must not block every other request on the lock
             if self.path == "/api/models":
-                with service.lock:  # GET APIs count in the stats too
+                with service.stats_lock:  # GET APIs count in the stats too
                     service.requests += 1
+                with service.lock:
                     out = service.models()
                 self._send(*out)
             elif self.path == "/api/game_state":
-                with service.lock:
+                with service.stats_lock:
                     service.requests += 1
+                with service.lock:
                     out = service.game_state()
                 self._send(*out)
             elif self.path == "/api/session/stats":
-                with service.lock:
+                with service.stats_lock:
                     service.requests += 1
                 self._send(*service.session_stats())
             elif self.path == "/" or self.path == "/app" or (
@@ -378,17 +423,18 @@ def make_handler(service: GameService):
                 self._send(400, {"error": "invalid JSON body"})
                 return
             try:
+                with service.stats_lock:
+                    service.requests += 1
                 if session_fn is not None:
-                    with service.lock:
-                        service.requests += 1
                     out = fn(data)  # concurrent by design
                 else:
                     with service.lock:
-                        service.requests += 1
                         out = fn(data)
                 self._send(*out)
             except (KeyError, TypeError, ValueError) as e:
                 self._send(400, {"error": f"bad request: {e!r}"})
+            except Exception as e:  # noqa: BLE001 — JSON, never a dropped
+                self._send(500, {"error": f"internal error: {e!r}"})  # conn
 
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -397,8 +443,9 @@ def make_handler(service: GameService):
 
 
 def serve(host: str = "127.0.0.1", port: int = 5000,
-          model_dirs: Optional[List[str]] = None) -> None:
-    service = GameService(model_dirs)
+          model_dirs: Optional[List[str]] = None,
+          warm_sessions: bool = False) -> None:
+    service = GameService(model_dirs, warm_sessions=warm_sessions)
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
     print(f"xiangqi-az-tpu demo API on http://{host}:{port}")
     try:

@@ -132,6 +132,16 @@ class Predictor:
         net = XiangqiNet(channels=channels, blocks=blocks)
         return cls(net, variables, num_simulations)
 
+    def with_simulations(self, num_simulations: int) -> "Predictor":
+        """Shallow clone sharing the network/params (and the already-
+        compiled forward) but with its own search depth and jit cache — so
+        the global game can change depth without re-jitting or re-depthing
+        the session searcher's programs out from under live sessions."""
+        p = Predictor(self.net, self.variables, num_simulations, self.c_puct)
+        if "_forward" in self.__dict__:  # depth-independent: share it
+            p.__dict__["_forward"] = self._forward
+        return p
+
     # ----------------------------------------------------------- inference
     @functools.cached_property
     def _forward(self):
@@ -180,6 +190,23 @@ class Predictor:
         )[None]
         probs, value = self._forward(self.variables, feats)
         return np.asarray(probs[0]), float(value[0])
+
+    def raw_predict_batch(
+        self, positions: List[Position], pad_to: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(policy[n, 8100], value[n]) for several positions in ONE fused
+        forward — the session collector pairs this with ``search_batch`` so
+        a coalesced batch costs two device programs total instead of one
+        search plus n single-state forwards."""
+        n = len(positions)
+        width = max(pad_to or n, n)
+        padded = positions + [positions[0]] * (width - n)
+        feats = jnp.stack([
+            E.features(jnp.asarray(p.board_array()), jnp.int8(p.side))
+            for p in padded
+        ])
+        probs, value = self._forward(self.variables, feats)
+        return np.asarray(probs[:n]), np.asarray(value[:n])
 
     def search_position(
         self, pos: Position, rng: Optional[jax.Array] = None
@@ -233,15 +260,19 @@ class Predictor:
         self,
         pos: Position,
         search: Tuple[np.ndarray, np.ndarray, np.ndarray],
+        raw: Optional[Tuple[np.ndarray, float]] = None,
     ) -> Dict:
         """Analysis payload from an already-run search — lets the session
         server coalesce many games' searches into one device program and
-        build each game's payload from its lane. Deviation from the
+        build each game's payload from its lane. ``raw`` optionally supplies
+        the (policy, value) forward for the position (coalesced upstream);
+        without it a single-state forward runs here. Deviation from the
         reference: 'prob' is the visit-proportional search distribution
         rather than the reference's temp-0 one-hot, so top_moves is
         informative; fields and structure are identical."""
         actions, visits, mg_order = search
-        raw_policy, value_score = self.raw_predict(pos)
+        raw_policy, value_score = raw if raw is not None else self.raw_predict(pos)
+        value_score = float(value_score)
         legal = set(pos.legal_actions())
 
         total = max(visits.sum(), 1)

@@ -82,8 +82,9 @@ class BatchedSearcher:
 
     # ------------------------------------------------------------- client
     def search(self, pos: Position) -> Tuple:
-        """Blocking search request; returns (actions, visits, order) for
-        this position's lane of whatever batch it lands in."""
+        """Blocking search request; returns (actions, visits, order,
+        raw_policy, raw_value) for this position's lane of whatever batch
+        it lands in — search and raw forward both coalesced."""
         req = _Request(pos)
         with self._cv:
             if self._stopped:
@@ -95,11 +96,17 @@ class BatchedSearcher:
             raise req.error
         return req.result
 
-    def stop(self) -> None:
+    def stop(self, drain_timeout: float = 120.0) -> None:
+        """Stop accepting requests, let the collector finish everything
+        already enqueued (serving-depth device batches take seconds to tens
+        of seconds on the tunnel), then fail whatever is left only if the
+        collector is genuinely wedged past ``drain_timeout``."""
         with self._cv:
             self._stopped = True
             self._cv.notify()
-        self._thread.join(timeout=5.0)
+        self._thread.join(timeout=drain_timeout)
+        if not self._thread.is_alive():
+            return  # clean drain: the queue is empty by construction
         with self._cv:
             pending = list(self._queue)
             self._queue.clear()
@@ -141,11 +148,16 @@ class BatchedSearcher:
                 ]
             try:
                 width = _bucket(len(batch), self.max_batch)
-                results = self.predictor.search_batch(
-                    [r.pos for r in batch], pad_to=width
+                positions = [r.pos for r in batch]
+                results = self.predictor.search_batch(positions, pad_to=width)
+                # the raw forward for every lane rides the same batch: a
+                # coalesced round costs exactly TWO device programs, not
+                # 1 search + n single-state forwards
+                raw_p, raw_v = self.predictor.raw_predict_batch(
+                    positions, pad_to=width
                 )
-                for req, res in zip(batch, results):
-                    req.result = res
+                for i, (req, res) in enumerate(zip(batch, results)):
+                    req.result = res + (raw_p[i], float(raw_v[i]))
             except BaseException as e:  # noqa: BLE001 — delivered per-request
                 for req in batch:
                     req.error = e
@@ -159,11 +171,20 @@ class BatchedSearcher:
                     req.done.set()
 
     def warmup(self, buckets: Optional[List[int]] = None) -> None:
-        """Pre-compile the bucket program shapes (each bucket is one XLA
-        program; at serving depth a cold compile is minutes — the reference
-        warms its server the same way, inference_server.py:101-107)."""
-        for b in buckets or [1, self.max_batch]:
-            self.predictor.search_batch([Position()], pad_to=_bucket(b, self.max_batch))
+        """Pre-compile EVERY bucket's search + raw-forward program shape
+        (each bucket is one XLA program; at serving depth a cold compile is
+        minutes, paid otherwise by the first clients whose requests happen
+        to coalesce at that width — the reference warms its server the same
+        way, inference_server.py:101-107)."""
+        if buckets is None:
+            buckets, b = [], 1
+            while b <= self.max_batch:
+                buckets.append(b)
+                b *= 2
+        for b in buckets:
+            width = _bucket(b, self.max_batch)
+            self.predictor.search_batch([Position()], pad_to=width)
+            self.predictor.raw_predict_batch([Position()], pad_to=width)
 
 
 class Session:

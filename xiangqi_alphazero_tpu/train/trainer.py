@@ -461,12 +461,37 @@ class AlphaZeroTrainer:
             )
             self.np_rng = self._unpack_np_rng(np.asarray(restored["np_rng"]))
         replay_path = os.path.abspath(path).rstrip("/") + ".replay.npz"
-        if self.cfg.checkpoint_replay and os.path.exists(replay_path):
-            with np.load(replay_path) as z:
-                self.buffer.load_state({k: z[k] for k in z.files})
-            logger.info(
-                "replay ring restored: %d samples", len(self.buffer)
-            )
+        if self.cfg.checkpoint_replay:
+            has = os.path.exists(replay_path)
+            if jax.process_count() > 1:
+                # every process must restore the SAME ring (the fleet is
+                # lockstep-replicated); a host missing the file would
+                # silently feed different batches into the collectives
+                from jax.experimental import multihost_utils
+
+                flags = multihost_utils.process_allgather(
+                    np.asarray([has])
+                ).ravel()
+                if flags.any() and not flags.all():
+                    raise ValueError(
+                        f"{replay_path} exists on some hosts but not all "
+                        "(it is written by process 0 only) — copy it to "
+                        "every host, or set --checkpoint-replay 0"
+                    )
+            if has:
+                with np.load(replay_path) as z:
+                    self.buffer.load_state({k: z[k] for k in z.files})
+                logger.info(
+                    "replay ring restored: %d samples", len(self.buffer)
+                )
+            else:
+                logger.warning(
+                    "replay ring %s not found: resuming with a COLD "
+                    "buffer — NOT the bit-exact resume this checkpoint "
+                    "was written for (copy the .replay.npz next to the "
+                    "checkpoint, or silence with --checkpoint-replay 0)",
+                    replay_path,
+                )
         logger.info("restored %s at iteration %d", path, self.iteration)
 
     def run_iteration(self) -> Dict:
