@@ -1,3 +1,9 @@
+from .gumbel import (  # noqa: F401
+    GumbelConfig,
+    GumbelResult,
+    halving_schedule,
+    run_gumbel_mcts,
+)
 from .mcts import (  # noqa: F401
     MCTSConfig,
     SearchResult,

@@ -515,6 +515,56 @@ def _descend_one(tree: Tree, root: _Core, c_puct: float, max_depth: int):
 # ------------------------------------------------------------- search -----
 
 
+def backup_path_delta(pnode_d, pslot_d, di, depth, v, node_iota, slot_iota):
+    """[B, 2, N, K] stat delta from a recorded descent path of static
+    length len(di), as ONE bf16 one-hot contraction with the backed-up
+    value factored out. The edge at depth d leads to the node at depth
+    d+1; the deepest updated edge is d = depth-1 and carries v, signs
+    alternating upward (reference: mcts.py:66-73).
+
+    Exactness: a descent path never revisits an edge, so every output
+    element of the contraction has AT MOST ONE nonzero term — there is no
+    accumulation, hence no rounding. The operands can therefore be bf16
+    in {-1, 0, 1} (exact) and the value applied afterwards as one
+    multiply (fl(v * +-1) = +-v, exact), halving the HBM traffic of the
+    f32 formulation that carried +-v inside the contraction operand.
+    Shared by the PUCT and Gumbel searches."""
+    validp = di[None, :] < depth[:, None]              # [B, D]
+    ohn = (
+        (pnode_d[:, :, None] == node_iota) & validp[:, :, None]
+    ).astype(jnp.bfloat16)                             # [B, D, N]
+    ohk = (pslot_d[:, :, None] == slot_iota).astype(jnp.bfloat16)
+    odd = ((depth[:, None] - 1 - di) % 2) != 0
+    sign = jnp.where(
+        validp, jnp.where(odd, -1.0, 1.0), 0.0
+    ).astype(jnp.bfloat16)                             # [B, D]
+    wn = jnp.stack([validp.astype(jnp.bfloat16), sign], axis=2)
+    ohk2 = ohk[:, :, None, :] * wn[..., None]          # [B,D,2,K]
+    delta = jnp.einsum(
+        "bdn,bdtk->btnk", ohn, ohk2,
+        preferred_element_type=jnp.float32,
+    )
+    scale = jnp.stack([jnp.ones_like(v), v], axis=1)   # [B, 2]
+    return delta * scale[:, :, None, None]
+
+
+def make_slot_priors(logits_eval: bool, k: int):
+    """(board, side, legal, scores) -> (slot actions, valid, prior values);
+    with ``logits_eval`` the exact softmax is computed only at the <=123
+    legal slots (the full [B, 8100] tensor is never materialized)."""
+
+    def slot_priors(board, side, legal, scores):
+        s32 = scores.astype(jnp.float32)
+        sa, va, picked = _legal_slots_priors(board, side, legal, s32, k)
+        if logits_eval:
+            m = jnp.max(s32, axis=-1, keepdims=True)
+            z = jnp.sum(jnp.exp(s32 - m), axis=-1, keepdims=True)
+            picked = jnp.exp(picked - m) / z
+        return sa, va, picked
+
+    return slot_priors
+
+
 def run_mcts(
     eval_fn: Callable[[jax.Array], Tuple[jax.Array, jax.Array]],
     roots: E.EnvState,
@@ -536,17 +586,7 @@ def run_mcts(
     batch = roots.board.shape[0]
     k = cfg.max_children
     plan = _stage_plan(cfg.num_simulations, batch)
-
-    def slot_priors(board, side, legal, scores):
-        """(slot actions, valid, raw prior values) from probs or logits."""
-        s32 = scores.astype(jnp.float32)
-        sa, va, picked = _legal_slots_priors(board, side, legal, s32, k)
-        if logits_eval:
-            m = jnp.max(s32, axis=-1, keepdims=True)
-            z = jnp.sum(jnp.exp(s32 - m), axis=-1, keepdims=True)
-            picked = jnp.exp(picked - m) / z
-        return sa, va, picked
-
+    slot_priors = make_slot_priors(logits_eval, k)
     tree = init_tree(batch, cfg, num_nodes=plan[0][2])
 
     # Root priors (+ optional Dirichlet noise), reference mcts.py:107-123.
@@ -640,34 +680,9 @@ def run_mcts(
         # edge at depth d leads to the node at depth d+1; the deepest
         # updated edge is d = depth-1 and carries v, signs alternate upward
         def backup_delta(pnode_d, pslot_d, di):
-            """[B, 2, N, K] stat delta from a path prefix of static length
-            len(di), as ONE bf16 one-hot contraction with the backed-up
-            value factored out.
-
-            Exactness: a descent path never revisits an edge, so every
-            output element of the contraction has AT MOST ONE nonzero
-            term — there is no accumulation, hence no rounding. The
-            operands can therefore be bf16 in {-1, 0, 1} (exact) and the
-            value applied afterwards as one multiply (fl(v * +-1) = +-v,
-            exact), halving the HBM traffic of the f32 formulation that
-            carried +-v inside the contraction operand."""
-            validp = di[None, :] < depth[:, None]              # [B, D]
-            ohn = (
-                (pnode_d[:, :, None] == node_iota) & validp[:, :, None]
-            ).astype(jnp.bfloat16)                             # [B, D, N]
-            ohk = (pslot_d[:, :, None] == slot_iota).astype(jnp.bfloat16)
-            odd = ((depth[:, None] - 1 - di) % 2) != 0
-            sign = jnp.where(
-                validp, jnp.where(odd, -1.0, 1.0), 0.0
-            ).astype(jnp.bfloat16)                             # [B, D]
-            wn = jnp.stack([validp.astype(jnp.bfloat16), sign], axis=2)
-            ohk2 = ohk[:, :, None, :] * wn[..., None]          # [B,D,2,K]
-            delta = jnp.einsum(
-                "bdn,bdtk->btnk", ohn, ohk2,
-                preferred_element_type=jnp.float32,
+            return backup_path_delta(
+                pnode_d, pslot_d, di, depth, v, node_iota, slot_iota
             )
-            scale = jnp.stack([jnp.ones_like(v), v], axis=1)   # [B, 2]
-            return delta * scale[:, :, None, None]
 
         # Full static-length contraction, fused with the ew add. A
         # depth-capped variant (lax.cond: short contraction for typical

@@ -27,6 +27,12 @@ def main(argv=None) -> int:
         help="pre-compile every session-coalescing batch shape at model "
              "load (slower load, no compile stall on first coalesce)",
     )
+    ap.add_argument(
+        "--search", choices=["puct", "gumbel"], default="puct",
+        help="puct = the reference's search semantics; gumbel = the "
+             "sequential-halving root (stronger per simulation — pair "
+             "with a low num_simulations for low-latency serving)",
+    )
 
     ep = sub.add_parser("export", help="export a trained model")
     ep.add_argument("--checkpoint", required=True)
@@ -47,7 +53,8 @@ def main(argv=None) -> int:
         from .api import serve
 
         serve(args.host, args.port, args.model_dirs,
-              warm_sessions=args.warm_session_buckets)
+              warm_sessions=args.warm_session_buckets,
+              search_algo=args.search)
         return 0
 
     from .export import (

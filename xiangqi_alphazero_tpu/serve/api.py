@@ -42,8 +42,13 @@ class GameService:
         self,
         model_dirs: Optional[List[str]] = None,
         warm_sessions: bool = False,
+        search_algo: str = "puct",
     ):
         self.model_dirs = model_dirs or ["models", "checkpoints"]
+        # "puct" (reference semantics) or "gumbel" (sequential-halving
+        # root, serve/predictor.py — stronger per simulation, so serving
+        # can run far fewer sims per move for the same strength)
+        self.search_algo = search_algo
         self.predictor: Optional[Predictor] = None
         self.model_name: Optional[str] = None
         self.game: Optional[Position] = None
@@ -93,7 +98,8 @@ class GameService:
             # publishing either, so a failure leaves the old pair intact
             # and the two can never disagree about the model
             predictor = Predictor.load(
-                found[0]["path"], num_simulations=self.num_simulations
+                found[0]["path"], num_simulations=self.num_simulations,
+                algo=self.search_algo,
             )
             # compile forward + search now, not on the first human move
             # (reference server warmup: inference_server.py:101-107)
@@ -444,8 +450,11 @@ def make_handler(service: GameService):
 
 def serve(host: str = "127.0.0.1", port: int = 5000,
           model_dirs: Optional[List[str]] = None,
-          warm_sessions: bool = False) -> None:
-    service = GameService(model_dirs, warm_sessions=warm_sessions)
+          warm_sessions: bool = False,
+          search_algo: str = "puct") -> None:
+    service = GameService(
+        model_dirs, warm_sessions=warm_sessions, search_algo=search_algo
+    )
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
     print(f"xiangqi-az-tpu demo API on http://{host}:{port}")
     try:

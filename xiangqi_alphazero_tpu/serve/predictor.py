@@ -25,7 +25,7 @@ import numpy as np
 from ..engine import env as E
 from ..engine.oracle import PIECE_NAMES, Position, decode_action
 from ..models import XiangqiNet
-from ..search import MCTSConfig, run_mcts
+from ..search import GumbelConfig, MCTSConfig, run_gumbel_mcts, run_mcts
 from ..train import checkpoint as ckpt
 
 
@@ -74,21 +74,31 @@ class Predictor:
         variables: Dict,
         num_simulations: int = 500,
         c_puct: float = 1.5,
+        algo: str = "puct",
     ):
+        if algo not in ("puct", "gumbel"):
+            raise ValueError(f"unknown search algo {algo!r}")
         self.net = net
         self.variables = variables
         self.num_simulations = int(num_simulations)
         self.c_puct = float(c_puct)
+        # "puct" = the reference's search semantics (mcts.py:94-155);
+        # "gumbel" = the sequential-halving root (search/gumbel.py) — far
+        # stronger per simulation, so low-latency serving can run a
+        # fraction of the sims for the same strength
+        self.algo = algo
 
     # ------------------------------------------------------------- loading
     @classmethod
-    def load(cls, path: str, num_simulations: int = 500) -> "Predictor":
+    def load(cls, path: str, num_simulations: int = 500,
+             algo: str = "puct") -> "Predictor":
         if path.endswith(".pt"):
-            return cls._load_torch(path, num_simulations)
-        return cls._load_orbax(path, num_simulations)
+            return cls._load_torch(path, num_simulations, algo)
+        return cls._load_orbax(path, num_simulations, algo)
 
     @classmethod
-    def _load_orbax(cls, path: str, num_simulations: int) -> "Predictor":
+    def _load_orbax(cls, path: str, num_simulations: int,
+                    algo: str = "puct") -> "Predictor":
         restored = ckpt.load_checkpoint(path)
         cfg_path = os.path.join(os.path.dirname(path), "best_model_config.json")
         if "config" in restored:
@@ -112,10 +122,11 @@ class Predictor:
                 "batch_stats": restored["batch_stats"],
             }
         variables = jax.tree.map(jnp.asarray, variables)
-        return cls(net, variables, num_simulations)
+        return cls(net, variables, num_simulations, algo=algo)
 
     @classmethod
-    def _load_torch(cls, path: str, num_simulations: int) -> "Predictor":
+    def _load_torch(cls, path: str, num_simulations: int,
+                    algo: str = "puct") -> "Predictor":
         import torch
 
         from ..models.torch_import import convert_state_dict
@@ -130,14 +141,17 @@ class Predictor:
         )
         variables = jax.tree.map(jnp.asarray, variables)
         net = XiangqiNet(channels=channels, blocks=blocks)
-        return cls(net, variables, num_simulations)
+        return cls(net, variables, num_simulations, algo=algo)
 
     def with_simulations(self, num_simulations: int) -> "Predictor":
         """Shallow clone sharing the network/params (and the already-
         compiled forward) but with its own search depth and jit cache — so
         the global game can change depth without re-jitting or re-depthing
         the session searcher's programs out from under live sessions."""
-        p = Predictor(self.net, self.variables, num_simulations, self.c_puct)
+        p = Predictor(
+            self.net, self.variables, num_simulations, self.c_puct,
+            algo=self.algo,
+        )
         if "_forward" in self.__dict__:  # depth-independent: share it
             p.__dict__["_forward"] = self._forward
         return p
@@ -157,6 +171,23 @@ class Predictor:
     @functools.cached_property
     def _search(self):
         net = self.net
+
+        if self.algo == "gumbel":
+            gcfg = GumbelConfig(
+                num_simulations=self.num_simulations,
+                max_considered=min(16, max(1, self.num_simulations)),
+            )
+
+            @jax.jit
+            def f(variables, state_b, rng):
+                def eval_fn(feats):
+                    logits, value = net.apply(variables, feats, train=False)
+                    return jax.nn.softmax(logits, -1), value.squeeze(-1)
+
+                return run_gumbel_mcts(eval_fn, state_b, rng, gcfg)
+
+            return f
+
         cfg = MCTSConfig(
             num_simulations=self.num_simulations, c_puct=self.c_puct
         )
@@ -219,11 +250,14 @@ class Predictor:
         res = self._search(
             self.variables, state_b, rng if rng is not None else jax.random.key(0)
         )
-        return (
+        out = (
             np.asarray(res.actions[0]),
             np.asarray(res.visits[0]),
             np.asarray(res.order[0]),
         )
+        if hasattr(res, "chosen"):  # gumbel: the halving winner acts
+            out += (int(res.chosen[0]),)
+        return out
 
     def search_batch(
         self, positions: List[Position], pad_to: Optional[int] = None
@@ -248,6 +282,12 @@ class Predictor:
         actions = np.asarray(res.actions)
         visits = np.asarray(res.visits)
         order = np.asarray(res.order)
+        if hasattr(res, "chosen"):
+            chosen = np.asarray(res.chosen)
+            return [
+                (actions[i], visits[i], order[i], int(chosen[i]))
+                for i in range(n)
+            ]
         return [(actions[i], visits[i], order[i]) for i in range(n)]
 
     # ------------------------------------------------------------ analysis
@@ -270,18 +310,23 @@ class Predictor:
         reference: 'prob' is the visit-proportional search distribution
         rather than the reference's temp-0 one-hot, so top_moves is
         informative; fields and structure are identical."""
-        actions, visits, mg_order = search
+        actions, visits, mg_order = search[:3]
         raw_policy, value_score = raw if raw is not None else self.raw_predict(pos)
         value_score = float(value_score)
         legal = set(pos.legal_actions())
 
         total = max(visits.sum(), 1)
         order = np.argsort(visits)[::-1][:15]
-        # temp-0 pick: first max-visit child in the reference's movegen
-        # order (its max() over the insertion-ordered dict, mcts.py:198)
-        tied = np.flatnonzero((actions >= 0) & (visits == visits.max()))
-        sel_slot = int(tied[np.argmin(mg_order[tied])])
-        selected = int(actions[sel_slot])
+        if len(search) > 3 and search[3] >= 0:
+            # gumbel: the acted move is the halving winner by
+            # g + logits + sigma(q̂), not the max-visit child
+            selected = int(search[3])
+        else:
+            # temp-0 pick: first max-visit child in the reference's movegen
+            # order (its max() over the insertion-ordered dict, mcts.py:198)
+            tied = np.flatnonzero((actions >= 0) & (visits == visits.max()))
+            sel_slot = int(tied[np.argmin(mg_order[tied])])
+            selected = int(actions[sel_slot])
 
         top_moves = []
         for j in order:
