@@ -204,6 +204,62 @@ def test_gumbel_serving_predictor():
     assert clone.algo == "gumbel" and clone.num_simulations == 24
 
 
+def test_gumbel_selfplay_games():
+    """search_algo='gumbel' plays whole games: recorded pi rows are the
+    improved policy (a distribution over the recorded slots), every acted
+    move was legal (games reach verdicts), and plies advance."""
+    from xiangqi_alphazero_tpu.models import init_net, policy_logits_fn
+    from xiangqi_alphazero_tpu.train.selfplay import (
+        SelfPlaySettings,
+        selfplay_games,
+    )
+
+    net, variables = init_net(jax.random.key(0), channels=8, blocks=1)
+    s = SelfPlaySettings(
+        num_simulations=8,
+        max_game_length=24,
+        random_opening_moves=2,
+        enable_resign=False,
+        search_algo="gumbel",
+        max_considered=4,
+    )
+    out = jax.jit(
+        lambda r: selfplay_games(
+            policy_logits_fn(net, variables), 8, r, s, logits_eval=True
+        )
+    )(jax.random.key(2))
+    rec = np.asarray(out.rec)
+    assert rec.any()
+    sums = np.asarray(out.pi_probs).sum(axis=-1)[rec]
+    np.testing.assert_allclose(sums, 1.0, atol=1e-4)
+    assert (np.asarray(out.plies) > 0).all()
+    assert set(np.asarray(out.winners).tolist()) <= {-1, 0, 1}
+
+
+def test_gumbel_training_iteration(tmp_path):
+    """A full train iteration with the gumbel self-play search learns on
+    improved-policy targets end-to-end."""
+    from xiangqi_alphazero_tpu.train.config import TrainingConfig
+    from xiangqi_alphazero_tpu.train.trainer import AlphaZeroTrainer
+
+    cfg = TrainingConfig(
+        num_channels=8, num_res_blocks=1,
+        num_simulations=8, eval_simulations=4,
+        num_games_per_iter=2, eval_games=2,
+        max_game_length=16, batch_size=16, num_epochs=1,
+        min_buffer_size=1, enable_resign=False,
+        random_opening_moves=1,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        search_algo="gumbel", max_considered=4,
+        seed=3,
+    )
+    tr = AlphaZeroTrainer(cfg)
+    stats = tr.run_iteration()
+    assert stats["self_play"]["new_samples"] > 0
+    assert np.isfinite(stats["training"]["policy_loss"])
+    assert np.isfinite(stats["training"]["value_loss"])
+
+
 def test_batch_games_search_independently():
     cfg = GumbelConfig(num_simulations=16, max_considered=8)
     import random

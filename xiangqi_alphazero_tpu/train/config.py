@@ -30,6 +30,13 @@ class TrainingConfig:
     #   recorded steps past the threshold, draw at the cap, resign after
     #   step 40). See SelfPlaySettings.temperature_schedule.
     max_children: int = 128
+    search_algo: str = "puct"  # "puct" = reference loop semantics exactly;
+    #   "gumbel" = sequential-halving root search (search/gumbel.py, beyond
+    #   the reference): acts the halving winner, trains on the improved
+    #   policy; strong at 16-64 sims/move, so iterations cost a fraction of
+    #   PUCT at reference depths. Gated eval stays PUCT either way (a fair
+    #   fixed arena between candidate and best).
+    max_considered: int = 16   # gumbel root candidates (m)
 
     # self-play
     num_games_per_iter: int = 20     # == the self-play batch (games in lockstep)
@@ -206,6 +213,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--min-buffer", type=int)
     p.add_argument("--epochs", type=int)
     p.add_argument("--temp-schedule", choices=["binary", "anneal"])
+    p.add_argument("--search-algo", choices=["puct", "gumbel"],
+                   help="self-play search: puct (reference semantics, "
+                        "default) or gumbel (sequential-halving root — "
+                        "pair with a small --simulations)")
+    p.add_argument("--max-considered", type=int,
+                   help="gumbel root candidate count m (default 16)")
     p.add_argument("--mesh-mode", choices=["auto", "off"])
     p.add_argument("--model-parallel", type=int,
                    help="shard the head Dense layers over this many devices "
@@ -241,6 +254,8 @@ def config_from_args(args: argparse.Namespace) -> Tuple[TrainingConfig, Optional
         "min_buffer": "min_buffer_size",
         "epochs": "num_epochs",
         "temp_schedule": "temperature_schedule",
+        "search_algo": "search_algo",
+        "max_considered": "max_considered",
         "mesh_mode": "mesh_mode",
         "model_parallel": "model_parallel",
         "coordinator": "coordinator_address",

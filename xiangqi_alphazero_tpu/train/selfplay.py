@@ -78,6 +78,16 @@ class SelfPlaySettings(NamedTuple):
     enable_resign: bool = True
     resign_threshold: float = -0.85
     resign_check_steps: int = 3
+    # "puct" = the reference loops above, exactly. "gumbel" = the
+    # sequential-halving root search (search/gumbel.py, beyond the
+    # reference): the acted move is the halving winner (the Gumbel sample
+    # IS the exploration — no Dirichlet noise, no temperature sampling;
+    # temperature_threshold/schedule are ignored) and the recorded policy
+    # target is the improved policy softmax(logits + sigma(completedQ))
+    # over ALL legal moves, per the paper. Strong at 16-64 sims/move,
+    # several times cheaper per iteration than PUCT at reference depths.
+    search_algo: str = "puct"
+    max_considered: int = 16  # gumbel root candidate count m
 
 
 class SelfPlayOut(NamedTuple):
@@ -200,11 +210,21 @@ def _init_carry(
 def _make_body(
     eval_fn: Callable, batch: int, s: SelfPlaySettings, logits_eval: bool
 ) -> Callable[[SPCarry], SPCarry]:
-    mcfg = M.MCTSConfig(
-        num_simulations=s.num_simulations,
-        c_puct=s.c_puct,
-        max_children=s.max_children,
-    )
+    gumbel = s.search_algo == "gumbel"
+    if gumbel:
+        from ..search import gumbel as G
+
+        gcfg = G.GumbelConfig(
+            num_simulations=s.num_simulations,
+            max_considered=min(s.max_considered, s.max_children),
+            max_children=s.max_children,
+        )
+    else:
+        mcfg = M.MCTSConfig(
+            num_simulations=s.num_simulations,
+            c_puct=s.c_puct,
+            max_children=s.max_children,
+        )
 
     serial = s.temperature_schedule == "anneal"  # see SelfPlaySettings
 
@@ -225,21 +245,32 @@ def _make_body(
             forced, forced_winner = c.forced, c.forced_winner
 
         rng, k_search, k_act = jax.random.split(c.rng, 3)
-        res = M.run_mcts(
-            eval_fn, c.states, k_search, mcfg, add_noise=True,
-            logits_eval=logits_eval,
-        )
-        # schedule clock: total moves (parallel) vs recorded steps (serial)
-        temp = temperature_at(c.n_rec if serial else c.states.ply, s)
+        if gumbel:
+            from ..search import gumbel as G
 
-        pi = M.action_probs_slots(res, temp)
+            res = G.run_gumbel_mcts(
+                eval_fn, c.states, k_search, gcfg, logits_eval=logits_eval
+            )
+            # paper semantics: train on the improved policy, act the
+            # halving winner (the Gumbel sample is the exploration)
+            pi = jnp.where(res.valid, res.pi_improved, 0.0)
+            act = res.chosen
+        else:
+            res = M.run_mcts(
+                eval_fn, c.states, k_search, mcfg, add_noise=True,
+                logits_eval=logits_eval,
+            )
+            # schedule clock: total moves (parallel) vs recorded (serial)
+            temp = temperature_at(c.n_rec if serial else c.states.ply, s)
+            pi = M.action_probs_slots(res, temp)
+            act = M.sample_actions(res, temp, k_act)
+
         boards = c.boards.at[c.t].set(c.states.board)
         sides = c.sides.at[c.t].set(c.states.side)
         pi_actions = c.pi_actions.at[c.t].set(res.actions)
         pi_probs = c.pi_probs.at[c.t].set(pi)
         rec = c.rec.at[c.t].set(alive)
 
-        act = M.sample_actions(res, temp, k_act)
         nxt = E.v_step(c.states, act)
         states = jax.tree.map(
             lambda n, o: jnp.where(

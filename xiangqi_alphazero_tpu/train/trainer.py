@@ -83,6 +83,8 @@ class AlphaZeroTrainer:
             enable_resign=cfg.enable_resign,
             resign_threshold=cfg.resign_threshold,
             resign_check_steps=cfg.resign_check_steps,
+            search_algo=cfg.search_algo,
+            max_considered=cfg.max_considered,
         )
         self.eval_settings = EvalSettings(
             num_simulations=cfg.eval_simulations,
