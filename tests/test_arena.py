@@ -47,3 +47,19 @@ def test_arena_games_diverge_under_temperature():
     assert not all(
         np.array_equal(boards[0], boards[i]) for i in range(1, 4)
     ), "games in the red half did not diverge"
+
+
+def test_arena_mixed_algorithms():
+    """gumbel-vs-puct with per-side budgets drives the search hooks in the
+    shared eval body: counts stay consistent and both sides play."""
+    net, v1 = init_net(jax.random.key(0), channels=8, blocks=1)
+    _, v2 = init_net(jax.random.key(9), channels=8, blocks=1)
+    s = ArenaSettings(
+        num_simulations=8, max_game_length=20, temperature=0.5,
+        algo_a="gumbel", algo_b="puct", sims_a=8, sims_b=4,
+        max_considered=4,
+    )
+    run = make_hosted_arena(net, net, 8, s)
+    out = run(v1, v2, jax.random.key(2))
+    assert out["a_wins"] + out["b_wins"] + out["draws"] == 8
+    assert out["avg_plies"] > 1  # both sides produced legal moves

@@ -38,6 +38,15 @@ class ArenaSettings(NamedTuple):
     max_children: int = 128
     max_game_length: int = 300
     temperature: float = 0.2
+    # per-side search: "puct" (reference semantics) or "gumbel" (the
+    # sequential-halving root, search/gumbel.py). Per-side budgets default
+    # to num_simulations — together these express the strength-per-compute
+    # matches the gumbel mode exists for (e.g. gumbel-32 vs puct-200).
+    algo_a: str = "puct"
+    algo_b: str = "puct"
+    sims_a: int = 0            # 0 -> num_simulations
+    sims_b: int = 0
+    max_considered: int = 16   # gumbel m
 
 
 def _sampler(batch_half: int, temperature: float):
@@ -45,21 +54,52 @@ def _sampler(batch_half: int, temperature: float):
     return lambda res, k: M.sample_actions(res, temp, k)
 
 
+def _side_hooks(algo: str, sims: int, s: ArenaSettings, batch_half: int):
+    """(search_fn, select_fn) for one side. The gumbel side acts its
+    halving winner — the per-ply Gumbel sample already provides the game
+    variety the PUCT side gets from temperature sampling."""
+    if algo == "gumbel":
+        from ..search import gumbel as G
+
+        gcfg = G.GumbelConfig(
+            num_simulations=sims,
+            max_considered=min(s.max_considered, s.max_children),
+            max_children=s.max_children,
+        )
+        return (
+            lambda ev, st, k: G.run_gumbel_mcts(ev, st, k, gcfg,
+                                                logits_eval=True),
+            lambda res, k: res.chosen,
+        )
+    mcfg = M.MCTSConfig(
+        num_simulations=sims, c_puct=s.c_puct, max_children=s.max_children
+    )
+    return (
+        lambda ev, st, k: M.run_mcts(ev, st, k, mcfg, add_noise=False,
+                                     logits_eval=True),
+        _sampler(batch_half, s.temperature),
+    )
+
+
 def make_hosted_arena(net_a, net_b, batch: int, s: ArenaSettings,
                       plies_per_segment: int = 16):
     """Host-driven arena: run(vars_a, vars_b, rng) -> dict of counts.
-    ``net_a``/``net_b`` may be different topologies."""
+    ``net_a``/``net_b`` may be different topologies, searches, budgets."""
     assert batch % 2 == 0, "arena batch must be even (color halves)"
+    sims_a = s.sims_a or s.num_simulations
+    sims_b = s.sims_b or s.num_simulations
     es = EvalSettings(
         num_simulations=s.num_simulations,
         c_puct=s.c_puct,
         max_children=s.max_children,
         max_game_length=s.max_game_length,
     )
-    sel = _sampler(batch // 2, s.temperature)
+    search_a, sel_a = _side_hooks(s.algo_a, sims_a, s, batch // 2)
+    search_b, sel_b = _side_hooks(s.algo_b, sims_b, s, batch // 2)
     eval_run = make_hosted_eval(
         net_a, batch, es, plies_per_segment=plies_per_segment,
-        net_old=net_b, select_new=sel, select_old=sel,
+        net_old=net_b, select_new=sel_a, select_old=sel_b,
+        search_new=search_a, search_old=search_b,
     )
 
     def run(vars_a, vars_b, rng) -> dict:
@@ -94,6 +134,11 @@ def main(argv=None) -> int:
     p.add_argument("--temperature", type=float, default=0.2)
     p.add_argument("--max-game-length", type=int, default=300)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--algo-a", choices=["puct", "gumbel"], default="puct")
+    p.add_argument("--algo-b", choices=["puct", "gumbel"], default="puct")
+    p.add_argument("--sims-a", type=int, default=0,
+                   help="side-a simulation budget (default --sims)")
+    p.add_argument("--sims-b", type=int, default=0)
     args = p.parse_args(argv)
 
     pa, pb = Predictor.load(args.a), Predictor.load(args.b)
@@ -101,12 +146,18 @@ def main(argv=None) -> int:
         num_simulations=args.sims,
         temperature=args.temperature,
         max_game_length=args.max_game_length,
+        algo_a=args.algo_a, algo_b=args.algo_b,
+        sims_a=args.sims_a, sims_b=args.sims_b,
     )
     batch = args.games + args.games % 2
     run = make_hosted_arena(pa.net, pb.net, batch, s)
     out = run(pa.variables, pb.variables, jax.random.key(args.seed))
     out["a"], out["b"] = args.a, args.b
     out["sims"], out["temperature"] = args.sims, args.temperature
+    out["algo_a"], out["algo_b"] = args.algo_a, args.algo_b
+    if args.sims_a or args.sims_b:
+        out["sims_a"] = args.sims_a or args.sims
+        out["sims_b"] = args.sims_b or args.sims
     print(json.dumps(out))
     return 0
 

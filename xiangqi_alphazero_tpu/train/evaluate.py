@@ -74,14 +74,18 @@ def _make_body(
     logits_eval: bool,
     select_new: Callable | None = None,
     select_old: Callable | None = None,
+    search_new: Callable | None = None,
+    search_old: Callable | None = None,
 ) -> Callable[[EvalCarry], EvalCarry]:
     """Per-ply body of the color-halved lockstep match.
 
     ``select_new``/``select_old`` map ``(SearchResult, key) -> actions`` for
     each half; the default is the reference's deterministic greedy pick
-    (temperature 0, train.py:478-496). The arena driver (arena.py) passes
-    temperature samplers instead — this is the ONE copy of the
-    swap/ordering logic both drivers share."""
+    (temperature 0, train.py:478-496). ``search_new``/``search_old`` map
+    ``(eval_fn, states, key) -> result`` and default to the shared PUCT
+    search at s.num_simulations — the arena overrides them to pit
+    different algorithms/budgets (e.g. gumbel-32 vs puct-200). This is the
+    ONE copy of the swap/ordering logic all match drivers share."""
     half = batch // 2
     mcfg = M.MCTSConfig(
         num_simulations=s.num_simulations,
@@ -92,6 +96,15 @@ def _make_body(
         select_new = lambda res, k: _greedy(res)  # noqa: E731
     if select_old is None:
         select_old = lambda res, k: _greedy(res)  # noqa: E731
+
+    def _default_search(ev, st, k):
+        return M.run_mcts(ev, st, k, mcfg, add_noise=False,
+                          logits_eval=logits_eval)
+
+    if search_new is None:
+        search_new = _default_search
+    if search_old is None:
+        search_old = _default_search
 
     def swap_halves(tree):
         return jax.tree.map(
@@ -109,14 +122,8 @@ def _make_body(
         )
         top = jax.tree.map(lambda x: x[:half], ordered)
         bot = jax.tree.map(lambda x: x[half:], ordered)
-        res_new = M.run_mcts(
-            eval_new, top, k1, mcfg, add_noise=False,
-            logits_eval=logits_eval,
-        )
-        res_old = M.run_mcts(
-            eval_old, bot, k2, mcfg, add_noise=False,
-            logits_eval=logits_eval,
-        )
+        res_new = search_new(eval_new, top, k1)
+        res_old = search_old(eval_old, bot, k2)
         act_ordered = jnp.concatenate(
             [select_new(res_new, ka), select_old(res_old, kb)]
         )
@@ -174,6 +181,8 @@ def make_hosted_eval(
     net_old=None,
     select_new: Callable | None = None,
     select_old: Callable | None = None,
+    search_new: Callable | None = None,
+    search_old: Callable | None = None,
 ):
     """Host-driven eval: returns ``run(vars_new, vars_old, rng) -> EvalOut``
     with bounded device programs (carry donated between segments).
@@ -214,6 +223,7 @@ def make_hosted_eval(
             policy_logits_fn(net_old, vars_old),
             batch, s, logits_eval=True,
             select_new=select_new, select_old=select_old,
+            search_new=search_new, search_old=search_old,
         )
         t_end = jnp.minimum(
             carry.t + plies_per_segment, jnp.int32(s.max_game_length)
