@@ -91,3 +91,25 @@ def test_sharded_selfplay_runs(mesh):
     assert out.boards.shape == (8, 16, 90)
     pi = np.asarray(out.pi_probs)[rec]
     np.testing.assert_allclose(pi.sum(-1), 1.0, rtol=1e-4)
+
+
+def test_sharded_selfplay_gumbel(mesh):
+    """The gumbel search's root machinery (top_k over candidates, halving
+    re-sorts, per-lane forced roots) must shard over the game batch like
+    the PUCT fleet does."""
+    net, variables = init_net(jax.random.key(1), channels=8, blocks=1)
+    settings = SelfPlaySettings(
+        num_simulations=4,
+        max_game_length=8,
+        random_opening_moves=1,
+        enable_resign=False,
+        search_algo="gumbel",
+        max_considered=4,
+    )
+    run = make_sharded_selfplay(net, 16, settings, mesh)
+    out = run(variables, jax.random.key(2))
+    rec = np.asarray(out.rec)
+    assert rec.any()
+    assert out.boards.shape == (8, 16, 90)
+    pi = np.asarray(out.pi_probs)[rec]
+    np.testing.assert_allclose(pi.sum(-1), 1.0, rtol=1e-4)
