@@ -49,6 +49,10 @@ def main(argv=None) -> None:
     p.add_argument("--blocks", type=int, default=3)
     p.add_argument("--profile", choices=["quick", "standard"], default=None)
     p.add_argument("--trace", type=str, default=None)
+    p.add_argument("--gumbel-sims", type=int, default=0,
+                   help="also time a gumbel full-move search at this "
+                        "budget (moves/s — the strength-per-wall-clock "
+                        "comparison against the PUCT rows)")
     args = p.parse_args(argv)
 
     if args.profile == "quick":
@@ -104,6 +108,20 @@ def main(argv=None) -> None:
         rows.append(("MCTS search (full move)", t, B * args.sims / t, "sims/s"))
         t = _time(move_j, states, jax.random.key(2), iters=3, warmup=1)
         rows.append(("search + play", t, B * args.sims / t, "sims/s"))
+        if args.gumbel_sims:
+            from ..search import GumbelConfig, run_gumbel_mcts
+
+            gcfg = GumbelConfig(num_simulations=args.gumbel_sims)
+
+            @jax.jit
+            def gumbel_j(s, k):
+                return run_gumbel_mcts(eval_fn, s, k, gcfg)
+
+            t = _time(gumbel_j, states, jax.random.key(3), iters=3, warmup=1)
+            rows.append((
+                f"gumbel search ({args.gumbel_sims} sims, full move)",
+                t, B / t, "moves/s",
+            ))
 
     width = max(len(r[0]) for r in rows)
     print(f"\n{'phase':<{width}}  {'ms/call':>10}  {'throughput':>14}")
