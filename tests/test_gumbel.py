@@ -121,26 +121,25 @@ def _capture_eval(feats):
 
 
 def test_policy_improvement_finds_free_capture():
-    """Red rook can capture black's undefended rook: with a material value
+    """Red pawn can capture black's undefended rook: with a material value
     function and uniform priors, the 16-sim Gumbel search must act the
-    capture (visit-count PUCT at this budget spreads sims over all 4
-    candidates; Gumbel's halving concentrates on the winner)."""
+    capture. The position has fewer legal moves than max_considered, so
+    EVERY legal move is a candidate and the halving's value-driven
+    elimination (not the Gumbel draw) decides."""
     pos = Position()
-    # open the file: red rook a0 up to a6 via a two-step scripted line,
-    # black shuffles; ends with red to move, rook attacking b9's defender...
-    # Simpler: hand-build — red rook faces black rook on an open file.
     board = np.zeros(90, np.int8)
     board[4] = 1        # red king (0,4)
-    board[84] = -1      # black king (9,3) — off the red king's file
-    board[45] = 5       # red rook (5,0)
-    board[72] = -5      # black rook (8,0) — capturable, undefended
+    board[84] = -1      # black king (9,3)
+    board[73] = 7       # red pawn (8,1), past the river
+    board[74] = -5      # black rook (8,2) — capturable, undefended
     pos.board = board.tolist()
     pos.side = 1
     pos.history = []
     pos._legal_cache = None
 
-    capture = 45 * 90 + 72  # encode (from=45, to=72)
-    assert capture in pos.legal_actions()
+    capture = 73 * 90 + 74  # pawn (8,1) takes (8,2)
+    legal = pos.legal_actions()
+    assert capture in legal and len(legal) <= 8, legal
 
     cfg = GumbelConfig(num_simulations=16, max_considered=8)
     res = jax.jit(
@@ -278,3 +277,58 @@ def test_batch_games_search_independently():
         np.asarray(both.visits[0]), np.asarray(solo0.visits[0])
     )
     assert np.asarray(both.visits[1]).sum() == 16
+
+
+def test_m_clamped_to_budget_chosen_always_visited():
+    """sims < max_considered: m clamps to the budget so every candidate
+    gets a phase-0 visit and the acted move is always search-backed."""
+    cfg = GumbelConfig(num_simulations=6, max_considered=16)
+    res = jax.jit(
+        lambda r, k: run_gumbel_mcts(_uniform_eval, r, k, cfg)
+    )(_roots([Position()]), jax.random.key(9))
+    visits = np.asarray(res.visits[0])
+    assert visits.sum() == 6 and (visits > 0).sum() <= 6
+    acts = np.asarray(res.actions[0])
+    slot = int(np.flatnonzero(acts == int(res.chosen[0]))[0])
+    assert visits[slot] > 0
+
+
+def test_zero_budget_returns_prior_argmax():
+    """num_simulations=0 must not crash: the chosen move is the
+    g+logits argmax (pure policy sample), with zero visits."""
+    assert halving_schedule(0, 8) == [(8, 0)]
+    cfg = GumbelConfig(num_simulations=0, max_considered=8)
+    res = jax.jit(
+        lambda r, k: run_gumbel_mcts(_uniform_eval, r, k, cfg)
+    )(_roots([Position()]), jax.random.key(4))
+    assert np.asarray(res.visits).sum() == 0
+    assert int(res.chosen[0]) in set(Position().legal_actions())
+
+
+def test_lane_noise_is_batch_width_independent():
+    """Lane i draws Gumbel noise from split key i, so the same position at
+    lane 0 gets the identical search whether it rides a width-1 or width-4
+    batch — the property coalesced serving relies on."""
+    cfg = GumbelConfig(num_simulations=12, max_considered=8)
+    f = jax.jit(lambda r, k: run_gumbel_mcts(_uniform_eval, r, k, cfg))
+    w1 = f(_roots([Position()]), jax.random.key(6))
+    w4 = f(_roots([Position()] * 4), jax.random.key(6))
+    np.testing.assert_array_equal(
+        np.asarray(w1.visits[0]), np.asarray(w4.visits[0])
+    )
+    assert int(w1.chosen[0]) == int(w4.chosen[0])
+
+
+def test_gumbel_forces_parallel_loop_semantics():
+    """temperature_schedule='anneal' must not change the cap/resign
+    semantics under gumbel (gumbel has no temperature at all)."""
+    from xiangqi_alphazero_tpu.train.selfplay import (
+        SelfPlaySettings,
+        _is_serial,
+    )
+
+    assert _is_serial(SelfPlaySettings(temperature_schedule="anneal"))
+    assert not _is_serial(
+        SelfPlaySettings(temperature_schedule="anneal", search_algo="gumbel")
+    )
+    assert not _is_serial(SelfPlaySettings())

@@ -98,13 +98,12 @@ def halving_schedule(budget: int, m: int) -> List[Tuple[int, int]]:
         remaining -= cnt
         m_p = max(1, m_p // 2)
     if remaining > 0:
-        m_last, cnt_last = segs[-1] if segs else (1, 0)
-        m_final = max(1, m_last // 2) if len(segs) == phases else m_last
-        if segs and len(segs) == phases:
-            segs.append((m_final, remaining))
-        else:
-            segs[-1] = (m_last, cnt_last + remaining)
-    assert sum(c for _, c in segs) == budget, segs
+        # remaining > 0 implies every phase appended (segs is non-empty):
+        # spend the leftovers as one extra halved phase over the survivors
+        segs.append((max(1, segs[-1][0] // 2), remaining))
+    if not segs:  # budget <= 0: one zero-sim segment keeps the search
+        segs = [(m, 0)]  # well-formed (final scoring over raw priors)
+    assert sum(c for _, c in segs) == max(budget, 0), segs
     return segs
 
 
@@ -233,7 +232,10 @@ def run_gumbel_mcts(
     ``run_mcts``."""
     batch = roots.board.shape[0]
     k = cfg.max_children
-    m = max(1, min(cfg.max_considered, k))
+    # clamp m to the budget: every candidate must receive at least one
+    # phase-0 visit, else the final argmax could act a move the search
+    # never simulated (unvisited candidates are scored by v_mix alone)
+    m = max(1, min(cfg.max_considered, k, max(cfg.num_simulations, 1)))
     segs = halving_schedule(cfg.num_simulations, m)
     slot_priors = make_slot_priors(logits_eval, k)
 
@@ -253,7 +255,13 @@ def run_gumbel_mcts(
     # log p differs from the true logits by a per-game constant, which
     # cancels in every softmax/argmax below
     logits = jnp.where(valid, jnp.log(jnp.maximum(p_slot, 1e-30)), -jnp.inf)
-    g = jax.random.gumbel(rng, (batch, k), jnp.float32)
+    # one Gumbel row PER LANE from split keys: lane i's noise depends on
+    # (rng, i) but NOT on the batch width, so a game searched solo and the
+    # same game riding lane 0 of a coalesced serving batch draw identical
+    # noise (a [batch, k] draw from one key differs per total shape)
+    g = jax.vmap(lambda kk: jax.random.gumbel(kk, (k,), jnp.float32))(
+        jax.random.split(rng, batch)
+    )
     base = jnp.where(valid, g + logits, -jnp.inf)        # g + logits
 
     top = jax.lax.top_k(base, m)                         # scores desc
@@ -279,8 +287,10 @@ def run_gumbel_mcts(
     bidx = jnp.arange(batch)
     node_iota = jnp.arange(cfg.num_simulations + 1, dtype=jnp.int32)
     slot_iota = jnp.arange(k, dtype=jnp.int32)
-    d_iota = jnp.arange(cfg.num_simulations, dtype=jnp.int32)
-    max_depth = cfg.num_simulations
+    # >=1 so the path arrays stay indexable when the body traces at
+    # budget 0 (the zero-length fori never runs it)
+    max_depth = max(1, cfg.num_simulations)
+    d_iota = jnp.arange(max_depth, dtype=jnp.int32)
     root_core = _Core(
         board=roots.board, side=roots.side, ply=roots.ply,
         quiet=roots.quiet, hist=roots.hist,
@@ -366,6 +376,10 @@ def run_gumbel_mcts(
     lo = 0
     for si, (m_p, cnt) in enumerate(segs):
         body = partial(sim_body, jnp.int32(m_p), jnp.int32(lo))
+        # barrier: stop XLA sinking the zero-init of the stats into the
+        # loop body as a whole-array select every simulation (the measured
+        # 12%-of-move-time pathology run_mcts guards against, mcts.py)
+        tree, node_val = jax.lax.optimization_barrier((tree, node_val))
         tree, node_val = jax.lax.fori_loop(
             lo, lo + cnt, body, (tree, node_val)
         )

@@ -265,12 +265,16 @@ class Predictor:
         """One fused device search over several independent positions.
 
         Every search lane is numerically independent (no cross-lane
-        reductions; batch-norm runs on frozen inference statistics), so each
+        reductions; batch-norm runs on frozen inference statistics). With
+        the default PUCT search (deterministic, no noise at temp 0) each
         lane's (actions, visits) is IDENTICAL to what a batch-1
         ``search_position`` on that position returns — pinned by
-        tests/test_sessions.py. ``pad_to`` fixes the compiled program shape
-        (pad lanes replay positions[0] and are dropped); without it the jit
-        cache keys on len(positions)."""
+        tests/test_sessions.py. With algo='gumbel' the search is stochastic
+        by design: lane i draws its own Gumbel noise from key-split index i
+        (batch-width-independent, but a game's reply still depends on which
+        queue slot it landed in). ``pad_to`` fixes the compiled program
+        shape (pad lanes replay positions[0] and are dropped); without it
+        the jit cache keys on len(positions)."""
         n = len(positions)
         width = max(pad_to or n, n)
         padded = positions + [positions[0]] * (width - n)

@@ -12,8 +12,10 @@ amortizing the per-program dispatch latency that dominates single-game
 serving on the tunneled chip (docs/PERF_NOTES.md) across every active game.
 
 Correctness: search lanes are numerically independent (no cross-lane
-reductions; inference-mode batch norm), so a coalesced lane returns exactly
-what a solo batch-1 search returns — pinned by tests/test_sessions.py.
+reductions; inference-mode batch norm), so with the default PUCT search a
+coalesced lane returns exactly what a solo batch-1 search returns — pinned
+by tests/test_sessions.py. (Gumbel serving is stochastic by design; see
+Predictor.search_batch.)
 
 Program shapes: requests are padded up to the next power-of-two bucket
 (<= max_batch) so the device sees a handful of static shapes instead of one

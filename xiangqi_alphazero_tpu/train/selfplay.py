@@ -154,6 +154,14 @@ def _alive(c: SPCarry) -> jax.Array:
     return ~c.states.done & ~c.forced
 
 
+def _is_serial(s: SelfPlaySettings) -> bool:
+    """Whether the SERIAL reference loop's cap/resign semantics apply.
+    Gumbel mode always uses the parallel loop's (adjudication at the move
+    cap, resign gate >10 recorded plies): temperature_schedule only picks
+    a TEMPERATURE clock there, and gumbel has no temperature at all."""
+    return s.temperature_schedule == "anneal" and s.search_algo != "gumbel"
+
+
 def _init_carry(
     batch: int, rng: jax.Array, s: SelfPlaySettings, batch_sharding=None
 ) -> SPCarry:
@@ -226,7 +234,7 @@ def _make_body(
             max_children=s.max_children,
         )
 
-    serial = s.temperature_schedule == "anneal"  # see SelfPlaySettings
+    serial = _is_serial(s)  # see SelfPlaySettings / _is_serial
 
     def body(c: SPCarry) -> SPCarry:
         alive = _alive(c)
@@ -246,8 +254,6 @@ def _make_body(
 
         rng, k_search, k_act = jax.random.split(c.rng, 3)
         if gumbel:
-            from ..search import gumbel as G
-
             res = G.run_gumbel_mcts(
                 eval_fn, c.states, k_search, gcfg, logits_eval=logits_eval
             )
@@ -329,7 +335,7 @@ def _finalize(out: SPCarry, s: SelfPlaySettings) -> SelfPlayOut:
     # material adjudication in the parallel loop (parallel_selfplay.py:
     # 79-89), a plain draw in the serial loop (train.py:286-289)
     leftover = _alive(out)
-    if s.temperature_schedule == "anneal":
+    if _is_serial(s):
         cap_verdict = jnp.zeros_like(out.forced_winner)
     else:
         cap_verdict = jax.vmap(_adjudicate)(out.states.board)

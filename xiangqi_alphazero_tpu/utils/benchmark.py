@@ -105,6 +105,7 @@ def main(argv=None) -> None:
         t = _time(net_j, feats)
         rows.append(("network forward", t, B / t, "evals/s"))
         t = _time(search_j, states, jax.random.key(1), iters=3, warmup=1)
+        t_search = t
         rows.append(("MCTS search (full move)", t, B * args.sims / t, "sims/s"))
         t = _time(move_j, states, jax.random.key(2), iters=3, warmup=1)
         rows.append(("search + play", t, B * args.sims / t, "sims/s"))
@@ -127,7 +128,7 @@ def main(argv=None) -> None:
     print(f"\n{'phase':<{width}}  {'ms/call':>10}  {'throughput':>14}")
     for name, t, thr, unit in rows:
         print(f"{name:<{width}}  {t * 1e3:>10.3f}  {thr:>14,.0f} {unit}")
-    per_sim = rows[-2][1] / args.sims * 1e3
+    per_sim = t_search / args.sims * 1e3
     print(f"\nper-simulation latency: {per_sim:.3f} ms "
           f"(batch-amortized: {per_sim / B * 1e3:.2f} us/game-sim)")
 
