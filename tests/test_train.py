@@ -2,6 +2,9 @@
 end-to-end iteration (self-play -> train -> eval -> checkpoint -> resume) —
 the JAX equivalent of the reference's test_gpu_train.py smoke run."""
 
+import json
+import os
+
 import numpy as np
 import pytest
 
@@ -293,3 +296,37 @@ def test_epoch_plan_matches_epoch_batches():
         np.testing.assert_array_equal(w, wmask[i])
         np.testing.assert_array_equal(boards, buf.boards[perm[i]])
     assert not wmask[steps:].any()
+
+
+def test_auto_restart_supervisor(tmp_path):
+    """--auto-restart relaunches a crashed run from the latest checkpoint:
+    an injected fault kills the first process at iteration 2; the
+    supervisor restarts from checkpoint_iter1 and the run completes. This
+    is the recovery path for the non-recoverable device failures the
+    tunneled TPU actually produces (dead backend -> fresh process)."""
+    import subprocess
+    import sys
+
+    ckpt = tmp_path / "ckpt"
+    marker = tmp_path / "fault_fired"
+    env = dict(os.environ, XQAZ_FAULT_ITER=f"2:{marker}")
+    cmd = [
+        sys.executable, "-m", "xiangqi_alphazero_tpu.train",
+        "--platform", "cpu", "--mode", "quick",
+        "--iterations", "2", "--games", "2", "--simulations", "4",
+        "--eval-games", "2", "--eval-interval", "10", "--epochs", "1",
+        "--save-interval", "1", "--min-buffer", "1",
+        "--checkpoint-dir", str(ckpt), "--seed", "11",
+        "--auto-restart", "2",
+    ]
+    proc = subprocess.run(
+        cmd, env=env, capture_output=True, text=True, timeout=1500,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert marker.exists()  # the fault really fired once
+    assert "[supervisor] training exited" in proc.stdout
+    assert (ckpt / "checkpoint_iter2").is_dir()
+    with open(ckpt / "training_stats.json") as f:
+        stats = json.load(f)
+    assert stats[-1]["iteration"] == 2

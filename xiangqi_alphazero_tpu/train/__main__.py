@@ -13,14 +13,91 @@ device constants at import), so the trainer import is deferred.
 
 import logging
 import os
+import re
+import subprocess
 import sys
 
 from .config import build_argparser, config_from_args
 
 
+def _latest_checkpoint(ckpt_dir: str):
+    """Newest checkpoint_iterN directory, or None."""
+    best, best_n = None, -1
+    if not os.path.isdir(ckpt_dir):
+        return None
+    for name in os.listdir(ckpt_dir):
+        m = re.fullmatch(r"checkpoint_iter(\d+)", name)
+        if m and int(m.group(1)) > best_n:
+            best_n = int(m.group(1))
+            best = os.path.join(ckpt_dir, name)
+    return best
+
+
+def _supervise(argv, attempts: int, ckpt_dir: str) -> int:
+    """Relaunch the training process from the latest checkpoint on failure.
+
+    A dead accelerator backend (the tunneled-TPU watchdog killing the
+    worker, a dropped tunnel) is NOT recoverable in-process — every
+    subsequent device call fails — so recovery means a FRESH process
+    resuming from the last checkpoint. Checkpoints carry full fidelity
+    (params, optimizer, RNG streams, replay ring), so the restarted run
+    continues bit-identically from the last save. The reference's failure
+    posture is drop-and-continue (worker games silently lost,
+    parallel_selfplay.py:385-386); this supervises the whole run instead."""
+    base = []
+    skip = False
+    for a in argv:
+        if skip:
+            skip = False
+            continue
+        if a == "--auto-restart":
+            skip = True
+            continue
+        if a.startswith("--auto-restart="):
+            continue
+        base.append(a)
+    rc = 1
+    for attempt in range(attempts + 1):
+        child = list(base)
+        latest = _latest_checkpoint(ckpt_dir)
+        if latest is not None:
+            # resume from the newest checkpoint, overriding any --resume
+            cleaned, skip = [], False
+            for a in child:
+                if skip:
+                    skip = False
+                    continue
+                if a == "--resume":
+                    skip = True
+                    continue
+                if a.startswith("--resume="):
+                    continue
+                cleaned.append(a)
+            child = cleaned + ["--resume", latest]
+        rc = subprocess.call(
+            [sys.executable, "-m", "xiangqi_alphazero_tpu.train", *child]
+        )
+        if rc == 0:
+            return 0
+        if attempt < attempts:
+            print(
+                f"[supervisor] training exited rc={rc}; restarting "
+                f"({attempts - attempt} attempts left, "
+                f"resume={_latest_checkpoint(ckpt_dir)})",
+                flush=True,
+            )
+    return rc
+
+
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     cfg, resume = config_from_args(args)
+
+    if args.auto_restart:
+        return _supervise(
+            argv if argv is not None else sys.argv[1:],
+            args.auto_restart, cfg.checkpoint_dir,
+        )
 
     import jax
 

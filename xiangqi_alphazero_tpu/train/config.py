@@ -206,6 +206,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--eval-games", type=int)
     p.add_argument("--eval-interval", type=int)
     p.add_argument("--save-interval", type=int)
+    p.add_argument("--auto-restart", type=int, default=0, metavar="N",
+                   help="supervise the run: on failure (dead device "
+                        "backend, dropped tunnel) relaunch a fresh "
+                        "process from the latest checkpoint, up to N "
+                        "times (full-fidelity checkpoints make the "
+                        "restart bit-identical)")
     p.add_argument("--checkpoint-replay", type=int, choices=[0, 1],
                    help="1 (default): save/restore the replay ring with "
                         "each checkpoint; 0: reference behavior (cold "

@@ -498,6 +498,7 @@ class AlphaZeroTrainer:
 
     def run_iteration(self) -> Dict:
         self.iteration += 1
+        self._maybe_inject_fault()
         t0 = time.time()
         sp_stats = self.self_play()
         train_stats = self.train_network()
@@ -551,6 +552,23 @@ class AlphaZeroTrainer:
             "warm start from %s (exported at iteration %d)",
             best_model_path, int(restored["iteration"]),
         )
+
+    def _maybe_inject_fault(self) -> None:
+        """Fault injection for exercising the --auto-restart supervisor
+        (the reference has no fault injection at all, SURVEY §5):
+        XQAZ_FAULT_ITER="N:/marker/path" raises at iteration N unless the
+        marker file exists (the raise creates it, so exactly one process
+        crash per marker)."""
+        spec = os.environ.get("XQAZ_FAULT_ITER")
+        if not spec:
+            return
+        n, marker = spec.split(":", 1)
+        if self.iteration == int(n) and not os.path.exists(marker):
+            with open(marker, "w"):
+                pass
+            raise RuntimeError(
+                f"injected fault at iteration {n} (XQAZ_FAULT_ITER)"
+            )
 
     def train(
         self, resume: Optional[str] = None, init_from: Optional[str] = None
