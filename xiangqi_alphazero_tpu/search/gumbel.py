@@ -358,8 +358,9 @@ def run_gumbel_mcts(
         return tree, node_val
 
     def cand_scores(tree, width):
-        """g + logits + sigma(q̂) for the first ``width`` candidates
-        (eliminated columns stay -inf via cand_base's update below)."""
+        """g + logits + sigma(q̂) for the first ``width`` candidate
+        columns; columns at rank >= width (eliminated in an earlier
+        halving) are masked to -inf."""
         oh = (
             cand_slot[:, :, None] == slot_iota[None, None, :]
         ).astype(jnp.float32)                            # [B, m, K]
