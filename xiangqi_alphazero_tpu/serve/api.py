@@ -373,9 +373,11 @@ def make_handler(service: GameService):
             if self.path == "/api/models":
                 with service.stats_lock:  # GET APIs count in the stats too
                     service.requests += 1
-                with service.lock:
-                    out = service.models()
-                self._send(*out)
+                # lock-free: reads only the fs listing and the current
+                # model name, and must stay responsive while load_model
+                # holds the global lock across minutes of warmup (the UI
+                # polls this endpoint for its picker)
+                self._send(*service.models())
             elif self.path == "/api/game_state":
                 with service.stats_lock:
                     service.requests += 1
