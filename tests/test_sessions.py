@@ -264,3 +264,30 @@ def test_concurrent_session_moves_coalesce(tiny_predictor):
         assert len(replies) == 1
     finally:
         svc.searcher.stop()
+
+
+def test_session_flow_with_gumbel_predictor(tiny_predictor):
+    """Sessions serve the gumbel search end-to-end: the AI reply is the
+    halving winner, the analysis payload is intact, and coalescing still
+    batches the searches."""
+    gp = tiny_predictor.with_simulations(8)
+    gp.algo = "gumbel"
+    gp.__dict__.pop("_search", None)
+    svc = GameService(model_dirs=[])
+    svc.predictor = gp
+    svc.searcher = BatchedSearcher(gp, max_batch=2, window_ms=60.0)
+    try:
+        code, g = svc.session_new({"human_side": "red"})
+        assert code == 200
+        code, mv = svc.session_move(
+            {"session_id": g["session_id"], "from_row": 3, "from_col": 0,
+             "to_row": 4, "to_col": 0}
+        )
+        assert code == 200 and mv["ai_move"] is not None
+        an = mv["ai_analysis"]
+        sel = [m for m in an["top_moves"] if m["selected"]]
+        assert len(sel) == 1 and sel[0]["legal"]
+        assert sel[0]["action"] == mv["ai_move"]["action"]
+        assert svc.searcher.stats()["requests"] == 1
+    finally:
+        svc.searcher.stop()
