@@ -31,6 +31,27 @@ BF16_PEAK_FLOPS = 197e12  # v5e chip peak (bf16)
 
 
 def main() -> None:
+    # Fail fast if the tunneled backend is unreachable: device init HANGS
+    # in C (uninterruptible — SIGALRM handlers never run) when the tunnel
+    # is down, which would wedge the driver forever. Probe in a subprocess
+    # with a hard timeout before this process touches the backend.
+    import subprocess
+    import sys as _sys
+
+    try:
+        subprocess.run(
+            [_sys.executable, "-c",
+             "import jax, numpy as np, jax.numpy as jnp;"
+             "assert np.asarray(jnp.ones((8,8)) @ jnp.ones((8,8)))[0,0]"
+             " == 8.0"],
+            timeout=180, check=True,
+        )
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            "bench: TPU backend unreachable (device init exceeded 180 s "
+            "— tunnel down?)"
+        )
+
     from xiangqi_alphazero_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
