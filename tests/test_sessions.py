@@ -291,3 +291,22 @@ def test_session_flow_with_gumbel_predictor(tiny_predictor):
         assert svc.searcher.stats()["requests"] == 1
     finally:
         svc.searcher.stop()
+
+
+def test_searcher_backpressure(tiny_predictor):
+    """Past max_pending queued requests, new ones fail fast instead of
+    piling up blocked threads (surfaces as the session 503 path)."""
+    searcher = BatchedSearcher(
+        tiny_predictor, max_batch=1, window_ms=1.0, max_pending=1
+    )
+    try:
+        # saturate: stuff the queue directly while holding the condition
+        # (deterministic, no timing dependence)
+        with searcher._cv:
+            from xiangqi_alphazero_tpu.serve.sessions import _Request
+
+            searcher._queue.append(_Request(Position()))
+        with pytest.raises(RuntimeError, match="overloaded"):
+            searcher.search(Position())
+    finally:
+        searcher.stop()

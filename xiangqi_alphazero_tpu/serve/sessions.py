@@ -67,10 +67,14 @@ class BatchedSearcher:
         predictor: Predictor,
         max_batch: int = 8,
         window_ms: float = 5.0,
+        max_pending: int = 64,
     ):
         self.predictor = predictor
         self.max_batch = max(1, int(max_batch))
         self.window_s = float(window_ms) / 1000.0
+        # backpressure: a stalled device must surface as a clean error to
+        # new requests, not an unbounded pile of blocked server threads
+        self.max_pending = max(1, int(max_pending))
         self._queue: deque[_Request] = deque()
         self._cv = threading.Condition()
         self._stopped = False
@@ -91,6 +95,10 @@ class BatchedSearcher:
         with self._cv:
             if self._stopped:
                 raise RuntimeError("searcher stopped")
+            if len(self._queue) >= self.max_pending:
+                raise RuntimeError(
+                    f"searcher overloaded ({self.max_pending} pending)"
+                )
             self._queue.append(req)
             self._cv.notify()
         req.done.wait()
