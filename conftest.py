@@ -26,11 +26,9 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Persistent XLA compilation cache: on this single-core host most of the
-# suite's wall-clock is CPU XLA compiles, and the shapes are stable across
-# runs — the same cache the CLI entry points use (utils/cache.py) cuts
-# repeat suite runs substantially. Safe for tests: keyed by HLO, so any
-# code change that alters a program recompiles it.
-from xiangqi_alphazero_tpu.utils.cache import enable_compilation_cache  # noqa: E402
-
-enable_compilation_cache()
+# NOTE: deliberately NO persistent XLA compilation cache here. It was
+# tried (3x faster on compile-bound modules) but XLA:CPU AOT cache loads
+# warn about machine-feature mismatches ("could lead to execution errors
+# such as SIGILL") on this host, and suite wall-clock is dominated by
+# execution anyway (47 -> 43 min). Tests stay hermetic; the CLI entry
+# points keep their cache (utils/cache.py).

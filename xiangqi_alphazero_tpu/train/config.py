@@ -37,6 +37,13 @@ class TrainingConfig:
     #   PUCT at reference depths. Gated eval stays PUCT either way (a fair
     #   fixed arena between candidate and best).
     max_considered: int = 16   # gumbel root candidates (m)
+    # playout-cap randomization (KataGo arXiv:1902.10565 §3.1, beyond the
+    # reference): prob of a FULL search per self-play ply (1.0 = off);
+    # other plies run playout_cap_sims cheap searches recording value-only
+    # samples. E.g. --playout-cap-prob 0.25 --playout-cap-sims 32 cuts
+    # self-play search cost ~3x at standard depth.
+    playout_cap_prob: float = 1.0
+    playout_cap_sims: int = 0
 
     # self-play
     num_games_per_iter: int = 20     # == the self-play batch (games in lockstep)
@@ -225,6 +232,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "pair with a small --simulations)")
     p.add_argument("--max-considered", type=int,
                    help="gumbel root candidate count m (default 16)")
+    p.add_argument("--playout-cap-prob", type=float,
+                   help="probability of a FULL search per self-play ply "
+                        "(default 1.0 = off); other plies use "
+                        "--playout-cap-sims and record value-only samples")
+    p.add_argument("--playout-cap-sims", type=int,
+                   help="cheap-search budget for capped plies")
     p.add_argument("--mesh-mode", choices=["auto", "off"])
     p.add_argument("--model-parallel", type=int,
                    help="shard the head Dense layers over this many devices "
@@ -262,6 +275,8 @@ def config_from_args(args: argparse.Namespace) -> Tuple[TrainingConfig, Optional
         "temp_schedule": "temperature_schedule",
         "search_algo": "search_algo",
         "max_considered": "max_considered",
+        "playout_cap_prob": "playout_cap_prob",
+        "playout_cap_sims": "playout_cap_sims",
         "mesh_mode": "mesh_mode",
         "model_parallel": "model_parallel",
         "coordinator": "coordinator_address",

@@ -79,7 +79,14 @@ def train_step_impl(
             logp, jnp.maximum(pi_actions, 0), axis=-1
         )
         ce = -jnp.sum(pi_probs * gathered, axis=-1)
-        policy_loss = jnp.sum(w * ce) / wsum
+        # policy averages over samples that CARRY a policy target (a pi
+        # row sums to 1; all-zero rows are value-only samples from
+        # playout-cap-randomized cheap searches, selfplay.py — with the
+        # cap off every row has a target and this equals the reference's
+        # batch mean, train.py:403-419)
+        has_pi = (jnp.sum(pi_probs, axis=-1) > 0).astype(jnp.float32)
+        pi_n = jnp.maximum(jnp.sum(w * has_pi), 1.0)
+        policy_loss = jnp.sum(w * ce) / pi_n
         value_loss = jnp.sum(w * (value.squeeze(-1) - z) ** 2) / wsum
         return policy_loss + value_loss, (
             mut["batch_stats"],

@@ -88,6 +88,18 @@ class SelfPlaySettings(NamedTuple):
     # several times cheaper per iteration than PUCT at reference depths.
     search_algo: str = "puct"
     max_considered: int = 16  # gumbel root candidate count m
+    # Playout-cap randomization (KataGo, arXiv:1902.10565 §3.1, beyond the
+    # reference): each PLY is a full search with probability
+    # playout_cap_prob, else a cheap playout_cap_sims search. Cheap plies
+    # record NO policy target (all-zero pi row -> zero CE, the learner
+    # normalizes policy loss over target-carrying rows) but still produce
+    # value samples and game flow — most of the value-data volume at a
+    # fraction of the search cost. Deviation from KataGo: the lockstep
+    # fleet randomizes per PLY (batch-global), not per move-per-game (a
+    # per-game mix would need both program shapes every ply).
+    # playout_cap_prob=1.0 (default) = off = reference behavior.
+    playout_cap_prob: float = 1.0
+    playout_cap_sims: int = 0
 
 
 class SelfPlayOut(NamedTuple):
@@ -219,20 +231,32 @@ def _make_body(
     eval_fn: Callable, batch: int, s: SelfPlaySettings, logits_eval: bool
 ) -> Callable[[SPCarry], SPCarry]:
     gumbel = s.search_algo == "gumbel"
-    if gumbel:
-        from ..search import gumbel as G
+    capped = 0.0 < s.playout_cap_prob < 1.0 and s.playout_cap_sims > 0
 
-        gcfg = G.GumbelConfig(
-            num_simulations=s.num_simulations,
-            max_considered=min(s.max_considered, s.max_children),
-            max_children=s.max_children,
-        )
-    else:
+    def _search_fn(sims: int):
+        if gumbel:
+            from ..search import gumbel as G
+
+            gcfg = G.GumbelConfig(
+                num_simulations=sims,
+                max_considered=min(s.max_considered, s.max_children),
+                max_children=s.max_children,
+            )
+            return lambda states, k: G.run_gumbel_mcts(
+                eval_fn, states, k, gcfg, logits_eval=logits_eval
+            )
         mcfg = M.MCTSConfig(
-            num_simulations=s.num_simulations,
+            num_simulations=sims,
             c_puct=s.c_puct,
             max_children=s.max_children,
         )
+        return lambda states, k: M.run_mcts(
+            eval_fn, states, k, mcfg, add_noise=True,
+            logits_eval=logits_eval,
+        )
+
+    full_search = _search_fn(s.num_simulations)
+    cheap_search = _search_fn(s.playout_cap_sims) if capped else None
 
     serial = _is_serial(s)  # see SelfPlaySettings / _is_serial
 
@@ -252,24 +276,34 @@ def _make_body(
         else:
             forced, forced_winner = c.forced, c.forced_winner
 
-        rng, k_search, k_act = jax.random.split(c.rng, 3)
-        if gumbel:
-            res = G.run_gumbel_mcts(
-                eval_fn, c.states, k_search, gcfg, logits_eval=logits_eval
+        rng, k_search, k_act, k_cap = jax.random.split(c.rng, 4)
+        if capped:
+            # playout-cap randomization: full vs cheap search per ply
+            # (both branches return identical [B, K] result shapes)
+            is_full = jax.random.bernoulli(
+                k_cap, s.playout_cap_prob
             )
+            res = jax.lax.cond(is_full, full_search, cheap_search,
+                               c.states, k_search)
+        else:
+            is_full = jnp.bool_(True)
+            res = full_search(c.states, k_search)
+
+        if gumbel:
             # paper semantics: train on the improved policy, act the
             # halving winner (the Gumbel sample is the exploration)
             pi = jnp.where(res.valid, res.pi_improved, 0.0)
             act = res.chosen
         else:
-            res = M.run_mcts(
-                eval_fn, c.states, k_search, mcfg, add_noise=True,
-                logits_eval=logits_eval,
-            )
             # schedule clock: total moves (parallel) vs recorded (serial)
             temp = temperature_at(c.n_rec if serial else c.states.ply, s)
             pi = M.action_probs_slots(res, temp)
             act = M.sample_actions(res, temp, k_act)
+        if capped:
+            # cheap plies carry NO policy target: an all-zero pi row is a
+            # value-only sample (zero CE; learner normalizes over
+            # target-carrying rows)
+            pi = jnp.where(is_full, pi, jnp.zeros_like(pi))
 
         boards = c.boards.at[c.t].set(c.states.board)
         sides = c.sides.at[c.t].set(c.states.side)

@@ -85,6 +85,8 @@ class AlphaZeroTrainer:
             resign_check_steps=cfg.resign_check_steps,
             search_algo=cfg.search_algo,
             max_considered=cfg.max_considered,
+            playout_cap_prob=cfg.playout_cap_prob,
+            playout_cap_sims=cfg.playout_cap_sims,
         )
         self.eval_settings = EvalSettings(
             num_simulations=cfg.eval_simulations,
