@@ -20,6 +20,7 @@ the standard preset).
 """
 
 import json
+import os
 import time
 
 import jax
@@ -168,7 +169,40 @@ def main() -> None:
         k, k2 = jax.random.split(k)
         r = search_std(sstates, k2)
     np.asarray(r)
-    std_sims_per_sec = std_batch * std_sims * 3 / (time.perf_counter() - t0)
+    std_dt = time.perf_counter() - t0
+    std_sims_per_sec = std_batch * std_sims * 3 / std_dt
+
+    # standard-config MFU on the same measured window (network FLOPs
+    # dispatched by the 128ch/6res search / chip bf16 peak)
+    fwd_s = jax.jit(lambda x: net_s.apply(vars_s, x, train=False))
+    cost_s = fwd_s.lower(
+        jnp.zeros((std_batch, 10, 9, 15), jnp.float32)
+    ).compile()
+    flops_fwd_s = float(cost_s.cost_analysis()["flops"])
+    standard_mfu = (
+        flops_fwd_s * (std_sims + 1) * 3 / std_dt
+    ) / BF16_PEAK_FLOPS
+
+    # --- on-chip correctness guards (bounded subprocesses) ----------------
+    # recorded alongside the perf numbers so a silent-miscompile regression
+    # (the class PERF_NOTES 5c documents) is driver-visible per round;
+    # disable with XQAZ_BENCH_GUARDS=0
+    guards_ok = None
+    if os.environ.get("XQAZ_BENCH_GUARDS", "1") != "0":
+        runner = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "scripts", "run_guards.py",
+        )
+        try:
+            out = subprocess.run(
+                [_sys.executable, runner],
+                capture_output=True, text=True, timeout=1800,
+            )
+            guards_ok = bool(
+                json.loads(out.stdout.strip().splitlines()[-1])["ok"]
+            )
+        except Exception:
+            guards_ok = False
 
     print(
         json.dumps(
@@ -180,6 +214,8 @@ def main() -> None:
                 "mfu": round(mfu, 4),
                 "env_steps_per_sec": round(env_steps_per_sec, 1),
                 "standard_sims_per_sec": round(std_sims_per_sec, 1),
+                "standard_mfu": round(standard_mfu, 4),
+                "guards_ok": guards_ok,
             }
         )
     )

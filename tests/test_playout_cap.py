@@ -105,6 +105,142 @@ def test_capped_selfplay_mixes_full_and_cheap():
     assert set(np.asarray(out.winners).tolist()) <= {-1, 0, 1}
 
 
+def test_budget_masked_search_equals_unmasked():
+    """search/mcts.py sim_budget correctness: with per-game budgets
+    [full, small], each game's visits/value must equal the corresponding
+    UNMASKED search (same rng) — i.e. a budget-masked simulation is a
+    true no-op for that game."""
+    from tests.test_mcts import _jax_eval
+    from xiangqi_alphazero_tpu.engine import env as E
+    from xiangqi_alphazero_tpu.search import mcts as M
+
+    roots = E.reset_batch_jit(2)
+    key = jax.random.key(9)
+    cfg_full = M.MCTSConfig(num_simulations=24)
+    cfg_small = M.MCTSConfig(num_simulations=6)
+    budget = jnp.asarray([24, 6], jnp.int32)
+
+    masked = jax.jit(
+        lambda r, k: M.run_mcts(_jax_eval, r, k, cfg_full, sim_budget=budget)
+    )(roots, key)
+    full = jax.jit(
+        lambda r, k: M.run_mcts(_jax_eval, r, k, cfg_full)
+    )(roots, key)
+    small = jax.jit(
+        lambda r, k: M.run_mcts(_jax_eval, r, k, cfg_small)
+    )(roots, key)
+
+    np.testing.assert_array_equal(
+        np.asarray(masked.visits[0]), np.asarray(full.visits[0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(masked.visits[1]), np.asarray(small.visits[1])
+    )
+    np.testing.assert_allclose(
+        float(masked.root_value[0]), float(full.root_value[0]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(masked.root_value[1]), float(small.root_value[1]), atol=1e-6
+    )
+
+
+def test_noise_mask_off_equals_noiseless():
+    """noise_mask=all-False under add_noise=True == add_noise=False."""
+    from tests.test_mcts import _jax_eval
+    from xiangqi_alphazero_tpu.engine import env as E
+    from xiangqi_alphazero_tpu.search import mcts as M
+
+    roots = E.reset_batch_jit(2)
+    key = jax.random.key(4)
+    cfg = M.MCTSConfig(num_simulations=12)
+    masked = jax.jit(
+        lambda r, k: M.run_mcts(
+            _jax_eval, r, k, cfg, add_noise=True,
+            noise_mask=jnp.zeros(2, bool),
+        )
+    )(roots, key)
+    plain = jax.jit(
+        lambda r, k: M.run_mcts(_jax_eval, r, k, cfg, add_noise=False)
+    )(roots, key)
+    np.testing.assert_array_equal(
+        np.asarray(masked.visits), np.asarray(plain.visits)
+    )
+
+
+def _run_capped(per_game: bool, batch: int = 8, seed: int = 3):
+    net, variables = init_net(jax.random.key(0), channels=8, blocks=1)
+    s = SelfPlaySettings(
+        num_simulations=8,
+        max_game_length=24,
+        random_opening_moves=0,
+        enable_resign=False,
+        playout_cap_prob=0.5,
+        playout_cap_sims=2,
+        playout_cap_per_game=per_game,
+    )
+    out = jax.jit(
+        lambda r: selfplay_games(
+            policy_logits_fn(net, variables), batch, r, s, logits_eval=True
+        )
+    )(jax.random.key(seed))
+    rec = np.asarray(out.rec)                      # [T, B]
+    full = np.asarray(out.pi_probs).sum(-1) > 0.5  # [T, B]
+    return rec, full
+
+
+def test_per_game_cap_target_mix():
+    """per_game=True: independent coin per (game, move) — KataGo §3.1.
+    Within a single ply, full and cheap games must COEXIST (exactly what
+    the batch-global coin can never produce), and the overall full-search
+    fraction must sit in a tight Binomial band around p."""
+    rec, full = _run_capped(per_game=True)
+    mixed_plies = 0
+    for t in range(rec.shape[0]):
+        r = rec[t]
+        if r.sum() >= 2:
+            k = full[t][r].sum()
+            if 0 < k < r.sum():
+                mixed_plies += 1
+    assert mixed_plies >= 3, "per-game coins must mix within plies"
+    n = int(rec.sum())
+    frac = float(full[rec].sum()) / n
+    # p=0.5; 4-sigma Binomial band
+    band = 4 * 0.5 / np.sqrt(n)
+    assert abs(frac - 0.5) < band, (frac, n)
+
+
+def test_global_cap_coin_is_batch_global():
+    """per_game=False (the compute lever): within every ply the recorded
+    rows agree — all-full or all-cheap — and the per-ply coin sequence
+    still mixes both kinds."""
+    rec, full = _run_capped(per_game=False)
+    kinds = set()
+    for t in range(rec.shape[0]):
+        r = rec[t]
+        if r.any():
+            vals = set(full[t][r].tolist())
+            assert len(vals) == 1, f"ply {t} mixed under a global coin"
+            kinds |= vals
+    assert kinds == {True, False}
+
+
+def test_per_game_cap_rejects_gumbel():
+    import pytest
+
+    net, variables = init_net(jax.random.key(0), channels=8, blocks=1)
+    s = SelfPlaySettings(
+        search_algo="gumbel",
+        playout_cap_prob=0.5,
+        playout_cap_sims=2,
+        playout_cap_per_game=True,
+    )
+    with pytest.raises(ValueError, match="per_game"):
+        selfplay_games(
+            policy_logits_fn(net, variables), 4, jax.random.key(0), s,
+            logits_eval=True,
+        )
+
+
 def test_capped_training_iteration(tmp_path):
     from xiangqi_alphazero_tpu.train.config import TrainingConfig
     from xiangqi_alphazero_tpu.train.trainer import AlphaZeroTrainer

@@ -155,10 +155,26 @@ def tp_param_shardings(mesh: Mesh, params):
 
 
 def tp_place(mesh: Mesh, params):
-    """Commit a param tree to its tensor-parallel layout (single-process)."""
-    return jax.tree.map(
-        jax.device_put, params, tp_param_shardings(mesh, params)
-    )
+    """Commit a param tree to its tensor-parallel layout.
+
+    Single-process: plain device_put. Multi-controller: device_put cannot
+    build non-addressable global arrays, so each process materializes the
+    host value (identical on every process by construction — same init
+    seed / same restored checkpoint) and contributes its own devices'
+    shards via make_array_from_callback."""
+    shardings = tp_param_shardings(mesh, params)
+    if jax.process_count() == 1:
+        return jax.tree.map(jax.device_put, params, shardings)
+
+    def place(x, s):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x  # already a committed global array
+        host = np.asarray(x)
+        return jax.make_array_from_callback(
+            host.shape, s, lambda idx, h=host: h[idx]
+        )
+
+    return jax.tree.map(place, params, shardings)
 
 
 def make_tp_train_step(net, tx, mesh: Mesh):

@@ -601,6 +601,8 @@ def run_mcts(
     cfg: MCTSConfig,
     add_noise: bool = True,
     logits_eval: bool = False,
+    sim_budget: "jax.Array | None" = None,
+    noise_mask: "jax.Array | None" = None,
 ) -> SearchResult:
     """Full search over a batch of root states.
 
@@ -611,7 +613,16 @@ def run_mcts(
     — the full [B, 8100] probability tensor is never materialized, saving
     ~9% of search device time). Jit-compatible; ``cfg``, ``add_noise`` and
     ``logits_eval`` are static.
-    """
+
+    ``sim_budget`` (optional int32[B]): per-game simulation budget <=
+    cfg.num_simulations — simulation i is a no-op for game b when
+    i >= sim_budget[b] (its descent/backup are masked to depth 0), so a
+    game's result equals a search run with exactly its budget. Used by
+    per-game playout-cap randomization (KataGo arXiv:1902.10565 §3.1);
+    note the lockstep batch still pays cfg.num_simulations of compute.
+    ``noise_mask`` (optional bool[B]): with add_noise, apply the Dirichlet
+    root noise only to these games (KataGo runs its cheap searches
+    noiseless)."""
     batch = roots.board.shape[0]
     k = cfg.max_children
     plan = _stage_plan(cfg.num_simulations, batch)
@@ -634,9 +645,13 @@ def run_mcts(
         noise = noise_g / jnp.maximum(
             jnp.sum(noise_g, axis=-1, keepdims=True), 1e-30
         )
-        p_slot = jnp.where(
+        p_noised = jnp.where(
             valid, (1.0 - cfg.noise_frac) * p_slot + cfg.noise_frac * noise, 0.0
         )
+        if noise_mask is not None:
+            p_slot = jnp.where(noise_mask[:, None], p_noised, p_slot)
+        else:
+            p_slot = p_noised
 
     has_any = jnp.any(valid, axis=-1)
     tree = tree.replace(
@@ -662,6 +677,14 @@ def run_mcts(
         mode, sel_parent, sel_slot, leaf, core, pnode, pslot, depth = descend(
             tree, root_core, cfg.c_puct, max_depth
         )
+        if sim_budget is not None:
+            # per-game budget: simulations past a game's budget are no-ops
+            # (depth 0 -> zero backup contraction; NOOP -> no create, no
+            # child pointer, no root_n). The node row written at new_idx is
+            # garbage but unreachable, same as the non-create case below.
+            active = i < sim_budget
+            mode = jnp.where(active, mode, _MODE_NOOP)
+            depth = jnp.where(active, depth, 0)
         env_leaf = E.EnvState(
             board=core.board, side=core.side, ply=core.ply, quiet=core.quiet,
             hist=core.hist, done=dummy_done, winner=dummy_win,

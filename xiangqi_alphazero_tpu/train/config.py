@@ -44,6 +44,10 @@ class TrainingConfig:
     # self-play search cost ~3x at standard depth.
     playout_cap_prob: float = 1.0
     playout_cap_sims: int = 0
+    # per-(game,move) coins (KataGo's exact semantics) instead of one coin
+    # per lockstep ply; fidelity lever, not a compute saving — see
+    # train/selfplay.py SelfPlaySettings
+    playout_cap_per_game: bool = False
 
     # self-play
     num_games_per_iter: int = 20     # == the self-play batch (games in lockstep)
@@ -90,7 +94,8 @@ class TrainingConfig:
     model_parallel: int = 1          # >1: 2-D ('data','model') mesh with the
     #   head Dense layers (policy FC = ~80% of params) Megatron-sharded over
     #   'model'; learner params + Adam moments live in that layout, actors
-    #   stay replicated (single-process only)
+    #   stay replicated. Works single- and multi-process (the 'data' axis
+    #   spans hosts; parallel/sharding.tp_place assembles the global arrays)
     seed: int = 0
 
     # multi-host (controller-less SPMD over DCN; every host runs this same
@@ -236,6 +241,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="probability of a FULL search per self-play ply "
                         "(default 1.0 = off); other plies use "
                         "--playout-cap-sims and record value-only samples")
+    p.add_argument("--playout-cap-per-game", type=int, choices=[0, 1],
+                   help="1: independent playout-cap coin per (game, move) "
+                        "(KataGo semantics; puct only, full-search "
+                        "compute); 0 (default): one coin per ply")
     p.add_argument("--playout-cap-sims", type=int,
                    help="cheap-search budget for capped plies")
     p.add_argument("--mesh-mode", choices=["auto", "off"])
@@ -277,6 +286,7 @@ def config_from_args(args: argparse.Namespace) -> Tuple[TrainingConfig, Optional
         "max_considered": "max_considered",
         "playout_cap_prob": "playout_cap_prob",
         "playout_cap_sims": "playout_cap_sims",
+        "playout_cap_per_game": "playout_cap_per_game",
         "mesh_mode": "mesh_mode",
         "model_parallel": "model_parallel",
         "coordinator": "coordinator_address",

@@ -89,17 +89,28 @@ class SelfPlaySettings(NamedTuple):
     search_algo: str = "puct"
     max_considered: int = 16  # gumbel root candidate count m
     # Playout-cap randomization (KataGo, arXiv:1902.10565 §3.1, beyond the
-    # reference): each PLY is a full search with probability
-    # playout_cap_prob, else a cheap playout_cap_sims search. Cheap plies
-    # record NO policy target (all-zero pi row -> zero CE, the learner
-    # normalizes policy loss over target-carrying rows) but still produce
-    # value samples and game flow — most of the value-data volume at a
-    # fraction of the search cost. Deviation from KataGo: the lockstep
-    # fleet randomizes per PLY (batch-global), not per move-per-game (a
-    # per-game mix would need both program shapes every ply).
+    # reference): a move is a full search with probability
+    # playout_cap_prob, else a cheap playout_cap_sims search (run
+    # noiseless, per KataGo). Cheap moves record NO policy target
+    # (all-zero pi row -> zero CE, the learner normalizes policy loss over
+    # target-carrying rows) but still produce value samples and game flow
+    # — most of the value-data volume at a fraction of the search cost.
+    # Two coin granularities:
+    # - per_game=False (default): ONE coin per PLY for the whole lockstep
+    #   fleet. This is the COMPUTE lever: expected search cost is
+    #   p*full + (1-p)*cheap. Marginally each (game, move) is still
+    #   Bernoulli(p); the deviation from KataGo is only the cross-game
+    #   correlation at equal ply (asserted in test_playout_cap.py).
+    # - per_game=True: independent coin per (game, move), KataGo's exact
+    #   semantics, via per-game simulation budgets inside ONE search
+    #   program (search/mcts.py sim_budget). The lockstep batch still
+    #   executes full-search compute every ply — this is the FIDELITY
+    #   lever, not a compute saving. PUCT only (the gumbel search's
+    #   halving schedule is static).
     # playout_cap_prob=1.0 (default) = off = reference behavior.
     playout_cap_prob: float = 1.0
     playout_cap_sims: int = 0
+    playout_cap_per_game: bool = False
 
 
 class SelfPlayOut(NamedTuple):
@@ -232,8 +243,14 @@ def _make_body(
 ) -> Callable[[SPCarry], SPCarry]:
     gumbel = s.search_algo == "gumbel"
     capped = 0.0 < s.playout_cap_prob < 1.0 and s.playout_cap_sims > 0
+    per_game = capped and s.playout_cap_per_game
+    if per_game and gumbel:
+        raise ValueError(
+            "playout_cap_per_game needs search_algo='puct' (the gumbel "
+            "halving schedule is static; use the batch-global coin)"
+        )
 
-    def _search_fn(sims: int):
+    def _search_fn(sims: int, add_noise: bool = True):
         if gumbel:
             from ..search import gumbel as G
 
@@ -251,12 +268,30 @@ def _make_body(
             max_children=s.max_children,
         )
         return lambda states, k: M.run_mcts(
-            eval_fn, states, k, mcfg, add_noise=True,
+            eval_fn, states, k, mcfg, add_noise=add_noise,
             logits_eval=logits_eval,
         )
 
     full_search = _search_fn(s.num_simulations)
-    cheap_search = _search_fn(s.playout_cap_sims) if capped else None
+    # cheap searches run noiseless (KataGo §3.1: exploration settings off
+    # on fast searches — their job is value data, not policy targets)
+    cheap_search = (
+        _search_fn(s.playout_cap_sims, add_noise=False) if capped else None
+    )
+
+    if per_game:
+        _mcfg = M.MCTSConfig(
+            num_simulations=s.num_simulations,
+            c_puct=s.c_puct,
+            max_children=s.max_children,
+        )
+
+        def budget_search(states, k, budget, coins):
+            return M.run_mcts(
+                eval_fn, states, k, _mcfg, add_noise=True,
+                logits_eval=logits_eval, sim_budget=budget,
+                noise_mask=coins,
+            )
 
     serial = _is_serial(s)  # see SelfPlaySettings / _is_serial
 
@@ -277,8 +312,19 @@ def _make_body(
             forced, forced_winner = c.forced, c.forced_winner
 
         rng, k_search, k_act, k_cap = jax.random.split(c.rng, 4)
-        if capped:
-            # playout-cap randomization: full vs cheap search per ply
+        if per_game:
+            # independent coin per (game, move) — KataGo's exact
+            # semantics, one search program with per-game sim budgets
+            coins = jax.random.bernoulli(
+                k_cap, s.playout_cap_prob, (batch,)
+            )
+            budget = jnp.where(
+                coins, s.num_simulations, s.playout_cap_sims
+            ).astype(jnp.int32)
+            res = budget_search(c.states, k_search, budget, coins)
+            is_full = coins  # [B]
+        elif capped:
+            # batch-global coin per ply: full vs cheap search program
             # (both branches return identical [B, K] result shapes)
             is_full = jax.random.bernoulli(
                 k_cap, s.playout_cap_prob
@@ -300,10 +346,12 @@ def _make_body(
             pi = M.action_probs_slots(res, temp)
             act = M.sample_actions(res, temp, k_act)
         if capped:
-            # cheap plies carry NO policy target: an all-zero pi row is a
-            # value-only sample (zero CE; learner normalizes over
-            # target-carrying rows)
-            pi = jnp.where(is_full, pi, jnp.zeros_like(pi))
+            # cheap searches carry NO policy target: an all-zero pi row is
+            # a value-only sample (zero CE; learner normalizes over
+            # target-carrying rows). is_full is scalar (global coin) or
+            # [B] (per-game coins).
+            mask = is_full if jnp.ndim(is_full) == 0 else is_full[:, None]
+            pi = jnp.where(mask, pi, jnp.zeros_like(pi))
 
         boards = c.boards.at[c.t].set(c.states.board)
         sides = c.sides.at[c.t].set(c.states.side)

@@ -107,11 +107,6 @@ class AlphaZeroTrainer:
         self.is_main = jax.process_index() == 0
         if cfg.mesh_mode == "auto" and (n_dev > 1 or n_proc > 1):
             if cfg.model_parallel > 1:
-                if n_proc > 1:
-                    raise NotImplementedError(
-                        "model_parallel > 1 requires single-process "
-                        "(multi-controller TP placement is not wired)"
-                    )
                 self.mesh = SH.make_tp_mesh(cfg.model_parallel)
                 logger.info(
                     "data x model parallel over %d devices (%d x %d)",
@@ -208,8 +203,20 @@ class AlphaZeroTrainer:
         return self._to_repl(tree) if self._tp else tree
 
     def _as_tp(self, tree):
-        """Replicated params -> a COPY in the learner's TP layout."""
-        return self._to_tp(tree) if self._tp else tree
+        """Replicated params -> a COPY in the learner's TP layout. Under
+        multi-controller, host/process-local values (checkpoint restores)
+        can't enter the jitted copy — commit them via tp_place, which
+        assembles the global arrays from per-process shards."""
+        if not self._tp:
+            return tree
+        if jax.process_count() > 1 and any(
+            not (isinstance(x, jax.Array) and not x.is_fully_addressable)
+            for x in jax.tree.leaves(tree)
+        ):
+            from ..parallel import sharding as SH
+
+            return SH.tp_place(self.mesh, tree)
+        return self._to_tp(tree)
 
     def _dev(self, tree):
         """Host values -> jit inputs. Multi-host: replicated global arrays
@@ -390,15 +397,23 @@ class AlphaZeroTrainer:
         return gen
 
     def save(self, is_best: bool = False) -> str:
+        # TP learner state is 'model'-sharded; checkpoints store the
+        # replicated layout (np.asarray of a sharded non-addressable array
+        # is rejected under multi-controller, and replicated checkpoints
+        # stay loadable at any future mesh shape)
+        params = self._as_replicated(self.params) if self._tp else self.params
+        opt_state = (
+            self._to_repl(self.opt_state) if self._tp else self.opt_state
+        )
         payload = {
             "iteration": self.iteration,
             "rng_key": jax.random.key_data(self.rng),
             "np_rng": self._pack_np_rng(self.np_rng),
-            "params": self.params,
+            "params": params,
             "batch_stats": self.batch_stats,
             "best_params": self.best_params,
             "best_batch_stats": self.best_stats,
-            "opt_state": self.opt_state,
+            "opt_state": opt_state,
             "total_games": self.total_games,
             "config": {
                 "num_channels": self.cfg.num_channels,
@@ -496,6 +511,23 @@ class AlphaZeroTrainer:
                     "checkpoint, or silence with --checkpoint-replay 0)",
                     replay_path,
                 )
+        # reload prior iterations' stats so a supervisor-restarted run
+        # keeps writing ONE cumulative training_stats.json (the reference
+        # loses pre-resume stats the same way this used to,
+        # reference: train.py:619-634 rewrites from an in-memory list)
+        stats_path = os.path.join(
+            self.cfg.checkpoint_dir, "training_stats.json"
+        )
+        if os.path.exists(stats_path):
+            try:
+                with open(stats_path) as f:
+                    prior = json.load(f)
+                self.training_stats = [
+                    s for s in prior
+                    if int(s.get("iteration", 0)) <= self.iteration
+                ]
+            except (json.JSONDecodeError, OSError):
+                pass  # corrupt/partial stats file: start a fresh list
         logger.info("restored %s at iteration %d", path, self.iteration)
 
     def run_iteration(self) -> Dict:
