@@ -33,7 +33,7 @@ GUARDS = (
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_guards(timeout_per_guard: int = 420) -> dict:
+def run_guards(timeout_per_guard: int = 900) -> dict:
     """Run each guard in a fresh interpreter (bounded); returns a summary
     dict. A guard that hangs past its timeout is reported as 'timeout'
     (the tunneled backend's device-init hang is uninterruptible in-process,
@@ -71,8 +71,10 @@ def main(argv=None) -> int:
 
     p = argparse.ArgumentParser(description="on-chip correctness guards")
     p.add_argument("--out", help="also write the JSON summary to this file")
-    p.add_argument("--timeout", type=int, default=420,
-                   help="per-guard subprocess timeout (seconds)")
+    p.add_argument("--timeout", type=int, default=900,
+                   help="per-guard subprocess timeout (seconds; compile "
+                        "dominates — the search guard takes ~7 min cold "
+                        "under host-CPU contention)")
     args = p.parse_args(argv)
     summary = run_guards(args.timeout)
     line = json.dumps(summary)
