@@ -416,9 +416,10 @@ def step_core(state: EnvState, action: jax.Array) -> EnvState:
     know the resulting position's status (the MCTS descent re-walks known
     interior nodes whose terminality is stored in the tree) or will call
     ``evaluate_state`` at the end. Does NOT freeze finished games."""
-    T = _T()
     a = action.astype(jnp.int32)
-    f, t = T["FR"][a], T["TO"][a]
+    # FR/TO are divmod-by-90 by construction (tables.py:68-69); arithmetic
+    # beats two per-lane constant-table gathers (rule 1 in PERF_NOTES).
+    f, t = a // NSQ, a % NSQ
     captured = state.board[t]
 
     hist = update_hist(state.hist, state.ply, state.board)

@@ -433,9 +433,11 @@ class _Core(NamedTuple):
 def _core_step(c: _Core, action: jax.Array) -> _Core:
     """engine.env.step_core on the reduced carry (dense move application —
     see env.apply_move for the chained-scatter miscompile this avoids)."""
-    T = E._T()
     a = action.astype(jnp.int32)
-    f, t = T["FR"][a], T["TO"][a]
+    # FR/TO are divmod-by-90 by construction (tables.py:68-69); arithmetic
+    # beats two per-lane constant-table gathers per descent step (~12 us
+    # each at batch 1024 — 2.7% of standard move time).
+    f, t = a // E.NSQ, a % E.NSQ
     captured = c.board[t]
     hist = E.update_hist(c.hist, c.ply, c.board)
     board = E.apply_move(c.board, f, t)
