@@ -344,10 +344,11 @@ def init_tree(batch: int, cfg: MCTSConfig, num_nodes: int | None = None) -> Tree
 # Minimum simulation count for 2-stage / 4-stage node-budget growth, and
 # minimum BATCH for staging at all — at small batches the whole ew array is
 # tiny (serve searches one game), so extra segments only multiply compile
-# time. Module-level so tests can force staging at tiny scales. Known gap:
-# evaluate() searches half-batches (eval_games/2), which at the tpu preset
-# (32 < 64) stay unstaged — tune only with an on-chip trace at that shape
-# (docs/PERF_NOTES.md rule: measure before touching the hot path).
+# time. Module-level so tests can force staging at tiny scales. The one
+# production shape below the threshold — evaluate()'s half-batches of
+# eval_games/2 = 32 at the tpu preset — was measured on-chip
+# (scripts/eval_stage_probe.py, docs/PERF_NOTES.md negative results):
+# force-staging it gains only 1.048x, so it deliberately stays unstaged.
 _STAGE_AT_2, _STAGE_AT_4 = 64, 160
 _STAGE_MIN_BATCH = 64
 
