@@ -39,18 +39,45 @@ def main() -> None:
     import subprocess
     import sys as _sys
 
-    try:
-        subprocess.run(
-            [_sys.executable, "-c",
-             "import jax, numpy as np, jax.numpy as jnp;"
-             "assert np.asarray(jnp.ones((8,8)) @ jnp.ones((8,8)))[0,0]"
-             " == 8.0"],
-            timeout=180, check=True,
-        )
-    except subprocess.TimeoutExpired:
+    last_good = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_last_good.json"
+    )
+
+    def _probe() -> bool:
+        try:
+            subprocess.run(
+                [_sys.executable, "-c",
+                 "import jax, numpy as np, jax.numpy as jnp;"
+                 "assert np.asarray(jnp.ones((8,8)) @ jnp.ones((8,8)))[0,0]"
+                 " == 8.0"],
+                timeout=180, check=True,
+            )
+            return True
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            return False
+
+    # Bounded retry: a transient tunnel outage (the round-3 capture died on
+    # one) gets three chances over ~5 minutes before we degrade.
+    for attempt in range(3):
+        if _probe():
+            break
+        if attempt < 2:
+            print(f"bench: backend probe failed (attempt {attempt + 1}/3), "
+                  "retrying in 60 s", file=_sys.stderr, flush=True)
+            time.sleep(60)
+    else:
+        # Degrade to the last successful capture, clearly labeled stale,
+        # rather than recording nothing (ONE JSON line either way).
+        if os.path.exists(last_good):
+            with open(last_good) as f:
+                cached = json.load(f)
+            cached["stale"] = True
+            cached["stale_reason"] = "TPU backend unreachable at capture"
+            print(json.dumps(cached))
+            return
         raise SystemExit(
             "bench: TPU backend unreachable (device init exceeded 180 s "
-            "— tunnel down?)"
+            "— tunnel down?) and no cached last-good result"
         )
 
     from xiangqi_alphazero_tpu.utils.cache import enable_compilation_cache
@@ -216,21 +243,24 @@ def main() -> None:
         except Exception:
             guards_ok = False
 
-    print(
-        json.dumps(
-            {
-                "metric": "mcts_sims_per_sec",
-                "value": round(sims_per_sec, 1),
-                "unit": f"simulations/s (batch={batch} games, 64 sims/move, 64ch/3res net, 1 chip)",
-                "vs_baseline": round(sims_per_sec / BASELINE_SIMS_PER_SEC, 2),
-                "mfu": round(mfu, 4),
-                "env_steps_per_sec": round(env_steps_per_sec, 1),
-                "standard_sims_per_sec": round(std_sims_per_sec, 1),
-                "standard_mfu": round(standard_mfu, 4),
-                "guards_ok": guards_ok,
-            }
-        )
-    )
+    result = {
+        "metric": "mcts_sims_per_sec",
+        "value": round(sims_per_sec, 1),
+        "unit": f"simulations/s (batch={batch} games, 64 sims/move, 64ch/3res net, 1 chip)",
+        "vs_baseline": round(sims_per_sec / BASELINE_SIMS_PER_SEC, 2),
+        "mfu": round(mfu, 4),
+        "env_steps_per_sec": round(env_steps_per_sec, 1),
+        "standard_sims_per_sec": round(std_sims_per_sec, 1),
+        "standard_mfu": round(standard_mfu, 4),
+        "guards_ok": guards_ok,
+    }
+    try:  # cache for the stale-fallback path above
+        with open(last_good, "w") as f:
+            json.dump({**result, "recorded_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, f)
+    except OSError:
+        pass
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -17,12 +17,20 @@ algorithmic one. This script MEASURES that claim:
 3. prints a markdown row for models/README.md plus one JSON line, and
    writes models/h2h/result.json.
 
-Iteration counts default to 12 (gumbel) / 5 (puct) from the measured
-per-iteration costs of the recorded runs (elo_run: ~45 s/iter ex-eval;
-pretrained: ~110 s/iter ex-eval); ACTUAL wall-clocks per arm are measured
-and reported — the match is judged on them, not the plan.
+Iteration counts default to 12 (gumbel) / 6 (puct) from the MEASURED
+steady-state per-iteration costs of the round-3 arms themselves
+(gumbel: ~59.5 s/iter ex-first-compile; puct: ~117 s/iter); ACTUAL
+wall-clocks AND steady-state per-iter costs are recorded in result.json —
+the match is judged on them, not the plan.
 
-Usage: python scripts/h2h_gumbel_puct.py [--gumbel-iters 12] [--puct-iters 5]
+Resilience (round-3 postmortem: a tunnel outage zeroed the PUCT arm):
+each arm trains under the framework's own --auto-restart supervisor with
+--save-interval 1, so a crash mid-arm resumes from the last completed
+iteration instead of restarting from scratch; an arm whose final
+checkpoint already exists is skipped entirely (wall derived from its
+training_stats.json).
+
+Usage: python scripts/h2h_gumbel_puct.py [--gumbel-iters 12] [--puct-iters 6]
            [--games 64] [--seed 11] [--out models/h2h]
 """
 
@@ -45,7 +53,10 @@ def _train(out_dir: str, algo: str, sims: int, iters: int, seed: int) -> float:
         "--games-per-iter", "256",
         "--iterations", str(iters),
         "--eval-interval", "100000",
-        "--save-interval", str(iters),
+        # per-iteration checkpoints + crash supervisor: one tunnel outage
+        # costs at most the current iteration, never the arm
+        "--save-interval", "1",
+        "--auto-restart", "5",
         "--checkpoint-replay", "0",
         "--seed", str(seed),
         "--checkpoint-dir", out_dir,
@@ -55,10 +66,32 @@ def _train(out_dir: str, algo: str, sims: int, iters: int, seed: int) -> float:
     return time.perf_counter() - t0
 
 
+def _stats_walls(out_dir: str, iters: int):
+    """(total_wall_s, steady_s_per_iter) from an arm's training_stats.json.
+
+    Used when the arm trained in an earlier invocation (skip-if-complete) —
+    per-iteration walls are authoritative there. Steady-state excludes
+    iteration 1, which carries the one-time XLA compile."""
+    path = os.path.join(out_dir, "training_stats.json")
+    if not os.path.exists(path):
+        return None, None
+    with open(path) as f:
+        stats = json.load(f)
+    times = [e["time"] for e in stats[:iters]]
+    if not times:
+        return None, None
+    steady = sum(times[1:]) / max(1, len(times) - 1) if len(times) > 1 else times[0]
+    return round(sum(times), 1), round(steady, 1)
+
+
+def _arm_complete(out_dir: str, iters: int) -> bool:
+    return os.path.isdir(os.path.join(out_dir, f"checkpoint_iter{iters}"))
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--gumbel-iters", type=int, default=12)
-    p.add_argument("--puct-iters", type=int, default=5)
+    p.add_argument("--puct-iters", type=int, default=6)
     p.add_argument("--games", type=int, default=64)
     p.add_argument("--arena-sims", type=int, default=40)
     p.add_argument("--seed", type=int, default=11)
@@ -70,11 +103,25 @@ def main() -> int:
     g_dir = os.path.join(args.out, "gumbel")
     p_dir = os.path.join(args.out, "puct")
     walls = {}
-    if not args.skip_train:
-        walls["gumbel_s"] = round(
-            _train(g_dir, "gumbel", 32, args.gumbel_iters, args.seed), 1)
-        walls["puct_s"] = round(
-            _train(p_dir, "puct", 200, args.puct_iters, args.seed), 1)
+    arms = [("gumbel", g_dir, "gumbel", 32, args.gumbel_iters),
+            ("puct", p_dir, "puct", 200, args.puct_iters)]
+    for name, out_dir, algo, sims, iters in arms:
+        if args.skip_train or _arm_complete(out_dir, iters):
+            total, steady = _stats_walls(out_dir, iters)
+            if args.skip_train and not _arm_complete(out_dir, iters):
+                sys.exit(
+                    f"h2h: --skip-train but {out_dir}/checkpoint_iter{iters} "
+                    f"is missing — train the {name} arm first (drop "
+                    f"--skip-train or lower --{name}-iters)")
+            print(f"[h2h] {name} arm complete ({out_dir}/checkpoint_iter"
+                  f"{iters}); wall from stats: {total}s", flush=True)
+            walls[f"{name}_s"] = total
+            walls[f"{name}_steady_s_per_iter"] = steady
+        else:
+            walls[f"{name}_s"] = round(
+                _train(out_dir, algo, sims, iters, args.seed), 1)
+            _, walls[f"{name}_steady_s_per_iter"] = _stats_walls(
+                out_dir, iters)
 
     # --- arena the CURRENT params of the final checkpoints (gated eval is
     # off in both arms, so best_params would still be the shared init) ----
@@ -89,8 +136,15 @@ def main() -> int:
     enable_compilation_cache()
 
     def _load(ckpt_dir: str, it: int):
-        restored = ckpt.load_checkpoint(
-            os.path.join(ckpt_dir, f"checkpoint_iter{it}"))
+        path = os.path.join(ckpt_dir, f"checkpoint_iter{it}")
+        if not os.path.isdir(path):
+            have = sorted(
+                int(n.rsplit("iter", 1)[1]) for n in os.listdir(ckpt_dir)
+                if n.startswith("checkpoint_iter")
+            ) if os.path.isdir(ckpt_dir) else []
+            sys.exit(f"h2h: {path} missing (completed iterations: {have}) "
+                     f"— rerun without --skip-train to finish the arm")
+        restored = ckpt.load_checkpoint(path)
         mc = restored["config"]
         net = XiangqiNet(channels=int(mc["num_channels"]),
                          blocks=int(mc["num_res_blocks"]))
@@ -108,9 +162,11 @@ def main() -> int:
 
     out = {
         "gumbel": {"iters": args.gumbel_iters, "sims": 32,
-                   "wall_s": walls.get("gumbel_s")},
+                   "wall_s": walls.get("gumbel_s"),
+                   "steady_s_per_iter": walls.get("gumbel_steady_s_per_iter")},
         "puct": {"iters": args.puct_iters, "sims": 200,
-                 "wall_s": walls.get("puct_s")},
+                 "wall_s": walls.get("puct_s"),
+                 "steady_s_per_iter": walls.get("puct_steady_s_per_iter")},
         "arena": res,
         "arena_protocol": {"sims": args.arena_sims, "algo": "puct both",
                            "temperature": 0.2, "games": batch},

@@ -330,3 +330,34 @@ def test_auto_restart_supervisor(tmp_path):
     with open(ckpt / "training_stats.json") as f:
         stats = json.load(f)
     assert stats[-1]["iteration"] == 2
+
+
+def test_stall_watchdog_kills_hung_child(tmp_path):
+    """A child that makes no checkpoint-dir progress past the stall
+    timeout is killed by its own process group and reported with the
+    stall sentinel rc — the supervisor's defense against a mid-run
+    tunnel drop leaving training hung in an uninterruptible device call."""
+    import sys
+    import time
+
+    from xiangqi_alphazero_tpu.train.__main__ import _run_with_stall_watchdog
+
+    t0 = time.monotonic()
+    rc = _run_with_stall_watchdog(
+        [sys.executable, "-c", "import time; time.sleep(600)"],
+        str(tmp_path), stall_timeout_s=5,
+    )
+    assert rc == 98
+    assert time.monotonic() - t0 < 120  # killed, did not sit out the sleep
+
+
+def test_stall_watchdog_passes_through_clean_exit(tmp_path):
+    import sys
+
+    from xiangqi_alphazero_tpu.train.__main__ import _run_with_stall_watchdog
+
+    rc = _run_with_stall_watchdog(
+        [sys.executable, "-c", "raise SystemExit(7)"],
+        str(tmp_path), stall_timeout_s=600,
+    )
+    assert rc == 7

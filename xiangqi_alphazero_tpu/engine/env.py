@@ -391,7 +391,8 @@ def apply_move(board: jax.Array, f: jax.Array, t: jax.Array) -> jax.Array:
     scatter pair MISCOMPILES on the tunneled-TPU backend when vmapped over
     heterogeneous (f, t) — both scatters get the t index, zeroing the
     destination and leaving the source in place (observed on 592/1024
-    boards, deterministic; tests/test_tpu_exec.py guards it). The dense
+    boards, deterministic; the on-chip guards scripts/tpu_step_parity.py
+    and scripts/tpu_mask_parity.py assert against it). The dense
     form is also scatter-free, which the measured cost model prefers.
     Semantics match the scatter chain exactly, including f == t -> 0."""
     iota = jnp.arange(NSQ, dtype=jnp.int32)

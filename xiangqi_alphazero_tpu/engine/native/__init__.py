@@ -65,6 +65,10 @@ def load() -> Optional[ctypes.CDLL]:
     lib.xq_gen_legal.restype = ctypes.c_int
     lib.xq_has_legal.argtypes = [i8p, ctypes.c_int]
     lib.xq_has_legal.restype = ctypes.c_int
+    lib.xq_minimax_move.argtypes = [
+        i8p, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+    ]
+    lib.xq_minimax_move.restype = ctypes.c_int32
     _lib = lib
     return _lib
 
@@ -105,3 +109,17 @@ def has_legal(board: np.ndarray, side: int) -> bool:
     lib = load()
     assert lib is not None
     return bool(lib.xq_has_legal(np.ascontiguousarray(board, np.int8), side))
+
+
+def minimax_move(board: np.ndarray, side: int, depth: int,
+                 seed: int = 1) -> Optional[int]:
+    """Alpha-beta minimax action (from*90+to), the external Elo anchor
+    opponent — semantics of serve/static/engine.js minimaxMove (reference:
+    web/client/src/lib/xiangqi-engine.ts:292-357). None if no legal move."""
+    lib = load()
+    assert lib is not None
+    a = int(lib.xq_minimax_move(
+        np.ascontiguousarray(board, np.int8), side, depth,
+        ctypes.c_uint64(seed & (2**64 - 1)),
+    ))
+    return None if a < 0 else a

@@ -239,6 +239,74 @@ int piece_dests(const int8_t* b, int s, int* out) {
   return n;
 }
 
+// ---------------------------------------------------------------------------
+// Alpha-beta minimax opponent (the external Elo anchor).
+//
+// Same semantics as the browser engine's negamax (serve/static/engine.js,
+// which replicates the reference web AI, reference:
+// web/client/src/lib/xiangqi-engine.ts:292-357): material-only evaluation
+// with the king at 10000 so king capture dominates, depth = AI level,
+// alpha-beta pruning, and a 30%-probability tie-break among equal-valued
+// root moves. The only intentional difference: the RNG is a seeded xorshift
+// so anchor matches are reproducible.
+
+constexpr int MVAL[8] = {0, 10000, 20, 20, 40, 90, 45, 10};
+
+int eval_board(const int8_t* b, int side) {
+  int score = 0;
+  for (int s = 0; s < NSQ; ++s) {
+    const int8_t p = b[s];
+    if (p > 0) score += MVAL[p];
+    else if (p < 0) score -= MVAL[-p];
+  }
+  return side > 0 ? score : -score;
+}
+
+int gen_legal_local(int8_t* b, int side, int32_t* out, int cap) {
+  int dests[32];
+  int n = 0;
+  for (int s = 0; s < NSQ; ++s) {
+    const int8_t p = b[s];
+    if (p == 0 || (p > 0) != (side > 0)) continue;
+    const int m = piece_dests(b, s, dests);
+    for (int j = 0; j < m; ++j)
+      if (move_safe(b, s, dests[j], side) && n < cap)
+        out[n++] = s * NSQ + dests[j];
+  }
+  std::sort(out, out + n);
+  return n;
+}
+
+int negamax(int8_t* b, int side, int depth, int alpha, int beta) {
+  if (find_king(b, side) < 0) return -100000;
+  if (find_king(b, -side) < 0) return 100000;
+  if (depth == 0) return eval_board(b, side);
+  int32_t moves[128];
+  const int n = gen_legal_local(b, side, moves, 128);
+  if (n == 0) return -100000;
+  int best = -1000000;
+  for (int i = 0; i < n; ++i) {
+    const int f = moves[i] / NSQ, t = moves[i] % NSQ;
+    const int8_t moving = b[f], captured = b[t];
+    b[t] = moving;
+    b[f] = 0;
+    const int v = -negamax(b, -side, depth - 1, -beta, -alpha);
+    b[f] = moving;
+    b[t] = captured;
+    if (v > best) best = v;
+    if (best > alpha) alpha = best;
+    if (alpha >= beta) break;
+  }
+  return best;
+}
+
+inline uint64_t xorshift64(uint64_t& s) {
+  s ^= s << 13;
+  s ^= s >> 7;
+  s ^= s << 17;
+  return s;
+}
+
 }  // namespace
 
 extern "C" {
@@ -289,6 +357,39 @@ int xq_has_legal(const int8_t* board, int side) {
       if (move_safe(b, s, dests[j], side)) return 1;
   }
   return 0;
+}
+
+// Best move for `side` by alpha-beta minimax at `depth` (depth 0 = greedy
+// material). Returns from*90+to, or -1 with no legal move. `seed` drives
+// the 30% equal-value tie-break (engine.js minimaxMove parity).
+int32_t xq_minimax_move(const int8_t* board, int side, int depth,
+                        uint64_t seed) {
+  int8_t b[NSQ];
+  for (int i = 0; i < NSQ; ++i) b[i] = board[i];
+  int32_t moves[128];
+  const int n = gen_legal_local(b, side, moves, 128);
+  if (n == 0) return -1;
+  uint64_t rng = seed ? seed : 0x9e3779b97f4a7c15ull;
+  int32_t best = -1;
+  int best_v = -1000000;
+  for (int i = 0; i < n; ++i) {
+    const int f = moves[i] / NSQ, t = moves[i] % NSQ;
+    const int8_t moving = b[f], captured = b[t];
+    b[t] = moving;
+    b[f] = 0;
+    const int v = depth <= 0
+                      ? eval_board(b, side)
+                      : -negamax(b, -side, depth, -1000000, 1000000);
+    b[f] = moving;
+    b[t] = captured;
+    const bool tie_take =
+        v == best_v && (xorshift64(rng) >> 40) % 10 < 3;  // ~30%
+    if (v > best_v || tie_take) {
+      best_v = v;
+      best = moves[i];
+    }
+  }
+  return best;
 }
 
 }  // extern "C"

@@ -33,6 +33,87 @@ def _latest_checkpoint(ckpt_dir: str):
     return best
 
 
+def _backend_alive(timeout_s: int = 120) -> bool:
+    """Probe the accelerator backend in a THROWAWAY subprocess: when the
+    tunneled TPU is down, device init hangs in C (uninterruptible — signal
+    handlers never run), so the probe must be a process we can kill."""
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, numpy as np, jax.numpy as jnp;"
+             "assert np.asarray(jnp.ones((8,8)) @ jnp.ones((8,8)))[0,0]"
+             " == 8.0"],
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return True
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        return False
+
+
+def _wait_for_backend(max_wait_s: int) -> bool:
+    """Block (bounded) until the backend answers; True if it came up."""
+    import time
+
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        if _backend_alive():
+            return True
+        if time.monotonic() >= deadline:
+            return False
+        print("[supervisor] backend unreachable; retrying in 60 s "
+              f"({int(deadline - time.monotonic())} s of patience left)",
+              flush=True)
+        time.sleep(60)
+
+
+def _run_with_stall_watchdog(cmd, ckpt_dir: str, stall_timeout_s: int) -> int:
+    """Run the training child in its own process group; if it makes no
+    filesystem progress under ckpt_dir for stall_timeout_s, kill the GROUP
+    (a mid-run tunnel drop can leave the child hung in an uninterruptible
+    device call forever — observed: a bench run hung >20 min after a
+    flap). Only the group we created is ever signalled."""
+    import signal
+    import time
+
+    def _progress_mtime() -> float:
+        newest = 0.0
+        if os.path.isdir(ckpt_dir):
+            for name in os.listdir(ckpt_dir):
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(ckpt_dir, name))
+                    )
+                except OSError:
+                    pass
+        return newest
+
+    proc = subprocess.Popen(cmd, start_new_session=True)
+    last_progress = time.monotonic()
+    last_mtime = _progress_mtime()
+    while True:
+        try:
+            return proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            pass
+        m = _progress_mtime()
+        if m > last_mtime:
+            last_mtime = m
+            last_progress = time.monotonic()
+        elif time.monotonic() - last_progress > stall_timeout_s:
+            print(
+                f"[supervisor] no checkpoint-dir progress for "
+                f"{stall_timeout_s} s; killing hung child pgid {proc.pid}",
+                flush=True,
+            )
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            proc.wait()
+            return 98  # sentinel: stalled, not a clean failure
+
+
 def _supervise(argv, attempts: int, ckpt_dir: str) -> int:
     """Relaunch the training process from the latest checkpoint on failure.
 
@@ -43,7 +124,15 @@ def _supervise(argv, attempts: int, ckpt_dir: str) -> int:
     (params, optimizer, RNG streams, replay ring), so the restarted run
     continues bit-identically from the last save. The reference's failure
     posture is drop-and-continue (worker games silently lost,
-    parallel_selfplay.py:385-386); this supervises the whole run instead."""
+    parallel_selfplay.py:385-386); this supervises the whole run instead.
+
+    Tunnel-outage hardening (the round-3 h2h postmortem): before each
+    (re)launch the backend is probed in a killable subprocess and the
+    supervisor WAITS — up to XQAZ_RESTART_MAX_WAIT_S, default 3600 s,
+    without burning attempts — for it to come back; and a child that makes
+    no checkpoint-dir progress for XQAZ_STALL_TIMEOUT_S (default 1800 s)
+    is presumed hung in an uninterruptible device call and killed by its
+    own process group."""
     base = []
     skip = False
     for a in argv:
@@ -56,8 +145,19 @@ def _supervise(argv, attempts: int, ckpt_dir: str) -> int:
         if a.startswith("--auto-restart="):
             continue
         base.append(a)
+    on_cpu = any(
+        base[i] == "--platform" and i + 1 < len(base) and base[i + 1] == "cpu"
+        or base[i] == "--platform=cpu"
+        for i in range(len(base))
+    )
+    max_wait = int(os.environ.get("XQAZ_RESTART_MAX_WAIT_S", "3600"))
+    stall_timeout = int(os.environ.get("XQAZ_STALL_TIMEOUT_S", "1800"))
     rc = 1
     for attempt in range(attempts + 1):
+        if not on_cpu and not _wait_for_backend(max_wait):
+            print("[supervisor] backend never came back; giving up",
+                  flush=True)
+            return 97
         child = list(base)
         latest = _latest_checkpoint(ckpt_dir)
         if latest is not None:
@@ -74,8 +174,9 @@ def _supervise(argv, attempts: int, ckpt_dir: str) -> int:
                     continue
                 cleaned.append(a)
             child = cleaned + ["--resume", latest]
-        rc = subprocess.call(
-            [sys.executable, "-m", "xiangqi_alphazero_tpu.train", *child]
+        rc = _run_with_stall_watchdog(
+            [sys.executable, "-m", "xiangqi_alphazero_tpu.train", *child],
+            ckpt_dir, stall_timeout,
         )
         if rc == 0:
             return 0
