@@ -118,10 +118,12 @@ def main() -> int:
             walls[f"{name}_s"] = total
             walls[f"{name}_steady_s_per_iter"] = steady
         else:
-            walls[f"{name}_s"] = round(
-                _train(out_dir, algo, sims, iters, args.seed), 1)
-            _, walls[f"{name}_steady_s_per_iter"] = _stats_walls(
-                out_dir, iters)
+            _train(out_dir, algo, sims, iters, args.seed)
+            # per-iteration stats are authoritative (a resumed arm's
+            # subprocess wall covers only the remaining iterations, and a
+            # supervisor backend-wait is not training cost)
+            walls[f"{name}_s"], walls[f"{name}_steady_s_per_iter"] = (
+                _stats_walls(out_dir, iters))
 
     # --- arena the CURRENT params of the final checkpoints (gated eval is
     # off in both arms, so best_params would still be the shared init) ----
