@@ -361,3 +361,34 @@ def test_stall_watchdog_passes_through_clean_exit(tmp_path):
         str(tmp_path), stall_timeout_s=600,
     )
     assert rc == 7
+
+
+def test_np_rng_pack_roundtrip_preserves_halfdraw_buffer():
+    """PCG64 keeps a buffered 32-bit half-draw (has_uint32/uinteger) that
+    np.permutation leaves pending about half the time; the checkpoint
+    pack must carry it or a resumed run's next training permutation
+    diverges from the uninterrupted one (the pod-restart parity failure
+    this reproduces at unit scale)."""
+    from xiangqi_alphazero_tpu.train.trainer import AlphaZeroTrainer as T
+
+    for warm in range(1, 8):
+        gen = np.random.default_rng(42)
+        for _ in range(warm):
+            gen.permutation(2528)
+        packed = T._pack_np_rng(gen)
+        assert packed.shape == (6,)
+        restored = T._unpack_np_rng(packed)
+        np.testing.assert_array_equal(
+            gen.permutation(2528), restored.permutation(2528)
+        )
+
+
+def test_np_rng_unpack_accepts_legacy_4_word_state():
+    from xiangqi_alphazero_tpu.train.trainer import AlphaZeroTrainer as T
+
+    gen = np.random.default_rng(11)
+    gen.permutation(100)
+    legacy = T._pack_np_rng(gen)[:4]
+    restored = T._unpack_np_rng(legacy)
+    st = restored.bit_generator.state
+    assert st["state"] == gen.bit_generator.state["state"]

@@ -374,12 +374,21 @@ class AlphaZeroTrainer:
     # -------------------------------------------------------- lifecycle
     @staticmethod
     def _pack_np_rng(gen: np.random.Generator) -> np.ndarray:
-        """PCG64 state (two 128-bit ints) as 4x uint64 for orbax."""
-        st = gen.bit_generator.state["state"]
+        """FULL PCG64 state as 6x uint64 for orbax: the two 128-bit ints
+        PLUS has_uint32/uinteger — the buffered half of a 64-bit draw that
+        32-bit consumers (np.permutation et al.) leave pending. Dropping
+        the buffer made a resumed run's NEXT training permutation diverge
+        from the uninterrupted run whenever the checkpoint landed with a
+        half-draw pending (~50% of iteration counts) — self-play and eval
+        (jax-key streams) stayed identical, so only the training losses
+        moved. Caught by test_pod_restart_resumes_and_matches_uninterrupted."""
+        full = gen.bit_generator.state
+        st = full["state"]
         mask = (1 << 64) - 1
         return np.array(
             [st["state"] & mask, st["state"] >> 64,
-             st["inc"] & mask, st["inc"] >> 64],
+             st["inc"] & mask, st["inc"] >> 64,
+             int(full.get("has_uint32", 0)), int(full.get("uinteger", 0))],
             dtype=np.uint64,
         )
 
@@ -387,13 +396,17 @@ class AlphaZeroTrainer:
     def _unpack_np_rng(arr: np.ndarray) -> np.random.Generator:
         a = np.asarray(arr, dtype=np.uint64)
         gen = np.random.default_rng(0)
-        gen.bit_generator.state = {
+        state = {
             **gen.bit_generator.state,
             "state": {
                 "state": int(a[0]) | (int(a[1]) << 64),
                 "inc": int(a[2]) | (int(a[3]) << 64),
             },
         }
+        if a.shape[0] >= 6:  # 4-word legacy checkpoints: buffer unknown,
+            state["has_uint32"] = int(a[4])  # treated as empty (pre-fix
+            state["uinteger"] = int(a[5])    # behavior)
+        gen.bit_generator.state = state
         return gen
 
     def save(self, is_best: bool = False) -> str:
@@ -459,10 +472,16 @@ class AlphaZeroTrainer:
         try:
             restored = ckpt.load_checkpoint(path, target)
         except (ValueError, KeyError):
-            # older checkpoints predate the RNG-state fields
-            target.pop("rng_key", None)
-            target.pop("np_rng", None)
-            restored = ckpt.load_checkpoint(path, target)
+            try:
+                # 4-word np_rng checkpoints (pre half-draw-buffer fix):
+                # keep full-fidelity restore of both streams
+                target["np_rng"] = np.zeros(4, np.uint64)
+                restored = ckpt.load_checkpoint(path, target)
+            except (ValueError, KeyError):
+                # older checkpoints predate the RNG-state fields entirely
+                target.pop("rng_key", None)
+                target.pop("np_rng", None)
+                restored = ckpt.load_checkpoint(path, target)
         self.params = self._as_tp(
             jax.tree.map(jnp.asarray, restored["params"])
         )
