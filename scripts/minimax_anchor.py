@@ -74,20 +74,33 @@ def play_match(pred, depth: int, games: int, base_seed: int = 17) -> dict:
                 done, w = pos[g].result()
                 if done:
                     winner[g] = w
-        # --- minimax moves (host, native core) ----------------------------
-        for g in range(games):
-            if winner[g] is not None or pos[g].side == net_side[g]:
-                continue
-            move_seed += 1
-            a = native.minimax_move(
-                pos[g].board_array(), pos[g].side, depth, seed=move_seed)
-            if a is None:  # no legal move: side to move loses
-                winner[g] = -pos[g].side
-                continue
-            pos[g].apply(a)
-            done, w = pos[g].result()
-            if done:
-                winner[g] = w
+        # --- minimax moves (host, native core; the ctypes call releases
+        # the GIL, so a thread pool runs the per-game searches on all
+        # cores) -----------------------------------------------------------
+        mm_turn = [g for g in range(games)
+                   if winner[g] is None and pos[g].side != net_side[g]]
+        if mm_turn:
+            from concurrent.futures import ThreadPoolExecutor
+
+            seeds = {}
+            for g in mm_turn:
+                move_seed += 1
+                seeds[g] = move_seed
+
+            def _mm(g):
+                return g, native.minimax_move(
+                    pos[g].board_array(), pos[g].side, depth, seed=seeds[g])
+
+            with ThreadPoolExecutor(max_workers=min(32, len(mm_turn))) as ex:
+                results_mm = list(ex.map(_mm, mm_turn))
+            for g, a in results_mm:
+                if a is None:  # no legal move: side to move loses
+                    winner[g] = -pos[g].side
+                    continue
+                pos[g].apply(a)
+                done, w = pos[g].result()
+                if done:
+                    winner[g] = w
 
     wins = sum(1 for g in range(games) if winner[g] == net_side[g])
     losses = sum(1 for g in range(games) if winner[g] == -net_side[g])
