@@ -211,7 +211,14 @@ def export_torchscript(
 
 
 def _jax_reference_forward(params, batch_stats, model_config: Dict, x_nchw):
-    """f32 JAX forward of the SAME weights (the export ground truth)."""
+    """f32 JAX forward of the SAME weights (the export ground truth).
+
+    Pinned to HIGHEST matmul precision: on a TPU-default host (the
+    serving CLI under the tunneled chip) f32 convs otherwise run as bf16
+    MXU passes, and with trained weights the "ground truth" drifted ~1%
+    from the true-f32 walker/onnxruntime result — max|dlogits| 1.31 on
+    logits of scale ~106, failing verification of a CORRECT artifact.
+    On CPU this is a no-op, so the test suite was blind to it."""
     import jax.numpy as jnp
 
     from ..models import XiangqiNet
@@ -222,9 +229,10 @@ def _jax_reference_forward(params, batch_stats, model_config: Dict, x_nchw):
         dtype=jnp.float32,
     )
     x = jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1)))  # NCHW -> NHWC
-    logits, value = jax.jit(
-        lambda v, x: net.apply(v, x, train=False)
-    )({"params": params, "batch_stats": batch_stats}, x)
+    with jax.default_matmul_precision("highest"):
+        logits, value = jax.jit(
+            lambda v, x: net.apply(v, x, train=False)
+        )({"params": params, "batch_stats": batch_stats}, x)
     return np.asarray(logits), np.asarray(value).reshape(-1)
 
 
