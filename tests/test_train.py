@@ -193,6 +193,33 @@ def test_end_to_end_iteration(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_train_segmentation_bit_identical(tmp_path):
+    """`train_segment_batches` chunks the epoch scan into watchdog-bounded
+    device programs; the (params, opt_state) carry chains across the chunks
+    so the result must be BIT-identical to the single fused scan (the knob
+    exists for 256ch-class nets whose full-buffer scan would exceed the
+    tunneled-TPU ~60 s program watchdog, docs/PERF_NOTES.md)."""
+    from xiangqi_alphazero_tpu.train import AlphaZeroTrainer
+
+    def run(seg):
+        cfg = _tiny_cfg(tmp_path / f"seg{seg}")
+        cfg.checkpoint_dir = str(tmp_path / f"seg{seg}" / "ckpt")
+        cfg.num_epochs = 2
+        cfg.train_segment_batches = seg
+        tr = AlphaZeroTrainer(cfg)
+        s1 = tr.run_iteration()
+        s2 = tr.run_iteration()
+        return s1, s2, tr
+
+    a1, a2, ta = run(0)
+    b1, b2, tb = run(3)  # forces several chunks incl. a ragged tail
+    for sa, sb in ((a1, b1), (a2, b2)):
+        for key in ("policy_loss", "value_loss", "batches"):
+            assert sa["training"][key] == sb["training"][key], key
+    for x, y in zip(jax.tree.leaves(ta.params), jax.tree.leaves(tb.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_lr_schedule_multistep():
     cfg = TrainingConfig(learning_rate=0.002, lr_milestones=(50, 80), lr_gamma=0.1)
     assert cfg.lr_at(1) == pytest.approx(0.002)

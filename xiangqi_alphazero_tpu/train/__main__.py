@@ -72,7 +72,11 @@ def _run_with_stall_watchdog(cmd, ckpt_dir: str, stall_timeout_s: int) -> int:
     filesystem progress under ckpt_dir for stall_timeout_s, kill the GROUP
     (a mid-run tunnel drop can leave the child hung in an uninterruptible
     device call forever — observed: a bench run hung >20 min after a
-    flap). Only the group we created is ever signalled."""
+    flap). Only the group we created is ever signalled. The trainer
+    touches <ckpt_dir>/.heartbeat at every phase boundary (self-play /
+    train segments / eval — trainer._heartbeat), so healthy iterations
+    much longer than the timeout still register progress; the timeout
+    therefore bounds a single silent PHASE, not an iteration."""
     import signal
     import time
 

@@ -69,6 +69,13 @@ class TrainingConfig:
     # data
     max_buffer_size: int = 50_000
     min_buffer_size: int = 500
+    # max train-scan batches per device program (0 = all of the iteration's
+    # epochs as ONE scan). The tunneled-TPU watchdog kills device programs
+    # at ~60 s (docs/PERF_NOTES.md); at 256ch/10res a full-buffer scan
+    # exceeds that, so large nets set this to bound each program while the
+    # (params, opt_state) carry chains across segments — math identical to
+    # the single scan
+    train_segment_batches: int = 0
 
     # evaluation (gating)
     eval_games: int = 10
@@ -229,6 +236,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "each checkpoint; 0: reference behavior (cold "
                         "buffer on resume)")
     p.add_argument("--min-buffer", type=int)
+    p.add_argument("--max-buffer", type=int,
+                   help="replay ring capacity (samples)")
+    p.add_argument("--train-segment", type=int,
+                   help="max train batches per device program (0 = one "
+                        "fused scan; set for big nets to stay under the "
+                        "device watchdog)")
     p.add_argument("--epochs", type=int)
     p.add_argument("--temp-schedule", choices=["binary", "anneal"])
     p.add_argument("--search-algo", choices=["puct", "gumbel"],
@@ -280,6 +293,8 @@ def config_from_args(args: argparse.Namespace) -> Tuple[TrainingConfig, Optional
         "save_interval": "save_interval",
         "checkpoint_replay": "checkpoint_replay",
         "min_buffer": "min_buffer_size",
+        "max_buffer": "max_buffer_size",
+        "train_segment": "train_segment_batches",
         "epochs": "num_epochs",
         "temp_schedule": "temperature_schedule",
         "search_algo": "search_algo",

@@ -194,6 +194,23 @@ class AlphaZeroTrainer:
         )
 
     # ------------------------------------------------------------ phases
+    def _heartbeat(self) -> None:
+        """Touch <checkpoint_dir>/.heartbeat so the --auto-restart stall
+        watchdog (train/__main__.py, which watches checkpoint-dir mtimes)
+        sees progress at every PHASE boundary, not just once per iteration
+        — without this, any healthy iteration longer than
+        XQAZ_STALL_TIMEOUT_S (big nets, cold XLA compiles) would be
+        SIGKILLed as a presumed hang (advisor round-4 finding)."""
+        if not self.is_main:
+            return
+        try:
+            with open(
+                os.path.join(self.cfg.checkpoint_dir, ".heartbeat"), "w"
+            ) as f:
+                f.write(f"{self.iteration} {time.time():.0f}\n")
+        except OSError:
+            pass
+
     def _next_key(self):
         self.rng, k = jax.random.split(self.rng)
         return k
@@ -234,6 +251,7 @@ class AlphaZeroTrainer:
 
     def self_play(self) -> Dict:
         t0 = time.time()
+        self._heartbeat()
         best_vars = {"params": self.best_params, "batch_stats": self.best_stats}
         out = self._selfplay_run(self._dev(best_vars), self._dev(self._next_key()))
         out = jax.tree.map(np.asarray, out)
@@ -281,6 +299,7 @@ class AlphaZeroTrainer:
             )
             return {}
         t0 = time.time()
+        self._heartbeat()
         lr = self.cfg.lr_at(self.iteration)
         self.opt_state = set_learning_rate(self.opt_state, lr)
         # all epochs' batches run as ONE on-device scan (the reference's
@@ -295,16 +314,43 @@ class AlphaZeroTrainer:
             perm = np.pad(perm, ((0, 0), (0, pad)))
             wmask = np.pad(wmask, ((0, 0), (0, pad)))
         bufs = self._dev(tuple(jnp.asarray(x) for x in self.buffer.arrays()))
-        (
-            self.params,
-            self.batch_stats,
-            self.opt_state,
-            losses,
-        ) = self._train_epochs(
-            *self._dev((self.params, self.batch_stats, self.opt_state)),
-            *bufs, *self._dev((jnp.asarray(perm), jnp.asarray(wmask))),
-        )
-        losses = np.asarray(losses)[:n_batches]
+        seg = self.cfg.train_segment_batches
+        if seg and seg < n_batches:
+            # watchdog-bounded segments: chain the (params, stats, opt)
+            # carry through fixed-shape [seg, b] scan calls — identical
+            # math to the single scan (zero-weight rows pad the tail, and
+            # the scan skips them). One compile serves every segment.
+            n_seg = -(-n_batches // seg)
+            rows = n_seg * seg
+            perm = np.pad(perm[:rows], ((0, max(0, rows - perm.shape[0])), (0, 0)))
+            wmask = np.pad(wmask[:rows], ((0, max(0, rows - wmask.shape[0])), (0, 0)))
+            loss_parts = []
+            for s in range(n_seg):
+                self._heartbeat()
+                sl = slice(s * seg, (s + 1) * seg)
+                (
+                    self.params,
+                    self.batch_stats,
+                    self.opt_state,
+                    part,
+                ) = self._train_epochs(
+                    *self._dev((self.params, self.batch_stats, self.opt_state)),
+                    *bufs,
+                    *self._dev((jnp.asarray(perm[sl]), jnp.asarray(wmask[sl]))),
+                )
+                loss_parts.append(np.asarray(part))
+            losses = np.concatenate(loss_parts)[:n_batches]
+        else:
+            (
+                self.params,
+                self.batch_stats,
+                self.opt_state,
+                losses,
+            ) = self._train_epochs(
+                *self._dev((self.params, self.batch_stats, self.opt_state)),
+                *bufs, *self._dev((jnp.asarray(perm), jnp.asarray(wmask))),
+            )
+            losses = np.asarray(losses)[:n_batches]
         tot_p = float(losses[:, 0].sum())
         tot_v = float(losses[:, 1].sum())
         stats = {
@@ -320,6 +366,7 @@ class AlphaZeroTrainer:
 
     def evaluate(self) -> Dict:
         t0 = time.time()
+        self._heartbeat()
         vars_new = {
             "params": self._as_replicated(self.params),
             "batch_stats": self.batch_stats,
