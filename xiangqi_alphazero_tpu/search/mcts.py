@@ -63,7 +63,6 @@ Semantics preserved exactly from the reference (training/mcts.py):
 
 from __future__ import annotations
 
-import os
 from functools import partial
 from typing import Callable, NamedTuple, Tuple
 
@@ -73,10 +72,6 @@ import numpy as np
 from flax import struct
 
 from ..engine import env as E
-
-# Layout A/B knob for _legal_slots_priors (bit-exact variants; see the
-# comment at its reshape site). Read once at import so traces stay pure.
-_SLOTS_VARIANT = int(os.environ.get("XQAZ_SLOTS_VARIANT", "0"))
 
 ACTION_SPACE = E.ACTION_SPACE
 
@@ -238,15 +233,10 @@ def _legal_slots_priors(
     # [B, 90, 90] relayout + matmul-operand traffic. The POLICY rows stay
     # f32 end to end: slot priors must be the exact f32 policy values
     # (pinned by the exact visit-count parity vs the reference mirror).
-    # _SLOTS_VARIANT is an A/B knob for the [B, 90, 90] relayout cost (the
-    # trace shows the reshape retile + einsum-operand copy at ~36 ms/move,
-    # 4% of standard move time — mcts.py:236-237 data formatting). The
-    # variants are BIT-EXACT (every einsum output has at most one nonzero
-    # term, so contraction order cannot round); only layouts change.
-    if _SLOTS_VARIANT in (2, 3):
-        m = legal.astype(bf16).reshape(b, 90, 90)
-    else:
-        m = legal.reshape(b, 90, 90).astype(bf16)
+    # Alternative bit-exact layouts for the [B, 90, 90] relayout (~4% of
+    # standard move time) were A/B'd on chip at 1.000-1.003x and retired —
+    # docs/PERF_NOTES.md round-4 notes, scripts/slots_ab.py history.
+    m = legal.reshape(b, 90, 90).astype(bf16)
     pr3 = probs.reshape(b, 90, 90)
 
     # Piece instance one-hots, vectorized: rank every square among its own
@@ -279,20 +269,10 @@ def _legal_slots_priors(
     oh_pieces = oh_b.astype(f32)
     f_p = jnp.einsum("bpf,f->bp", oh_pieces, sq_iota.astype(f32))
 
-    if _SLOTS_VARIANT in (1, 3):
-        # output-transposed contraction: frees XLA to consume the big
-        # [B, 90, 90] operand in its natural layout; the transpose then
-        # lands on the small [B, 90, 16] result instead
-        m_rows = jnp.swapaxes(
-            jnp.einsum("bft,bpf->btp", m, oh_b,
-                       preferred_element_type=f32), 1, 2)
-        p_rows = jnp.swapaxes(
-            jnp.einsum("bft,bpf->btp", pr3, oh_pieces), 1, 2)
-    else:
-        m_rows = jnp.einsum(                                # [B, 16, 90]
-            "bpf,bft->bpt", oh_b, m, preferred_element_type=f32
-        )
-        p_rows = jnp.einsum("bpf,bft->bpt", oh_pieces, pr3)
+    m_rows = jnp.einsum(                                    # [B, 16, 90]
+        "bpf,bft->bpt", oh_b, m, preferred_element_type=f32
+    )
+    p_rows = jnp.einsum("bpf,bft->bpt", oh_pieces, pr3)
     r = jnp.einsum(                                         # dest ranks
         "bpf,ft->bpt", m_rows.astype(bf16), tri_incl,
         preferred_element_type=f32,
