@@ -87,3 +87,44 @@ def test_seed_determinism():
     moves_b = [native.minimax_move(p.board_array(), 1, 2, seed=s)
                for s in (1, 2, 3)]
     assert moves_a == moves_b
+
+
+class _StubPred:
+    """Minimal Predictor stand-in for play_match: 1-visit 'search' that
+    returns each position's first legal action (movegen order)."""
+
+    def search_batch(self, positions, pad_to=None):
+        out = []
+        for p in positions:
+            a = p.legal_actions()[0]
+            out.append((np.asarray([a], np.int32),
+                        np.asarray([1], np.int32),
+                        np.asarray([0], np.int32)))
+        return out
+
+
+def _play(depth, epsilon, games=2):
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "minimax_anchor",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "minimax_anchor.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.play_match(_StubPred(), depth, games, epsilon=epsilon)
+
+
+def test_play_match_epsilon_blunder_ladder_runs_and_is_deterministic():
+    # epsilon=1.0: minimax side is a pure random mover; the match must
+    # complete under oracle rules and be reproducible (per-move seeds)
+    r1 = _play(depth=0, epsilon=1.0)
+    r2 = _play(depth=0, epsilon=1.0)
+    assert r1 == r2
+    assert r1["net_wins"] + r1["draws"] + r1["net_losses"] == 2
+    assert 0.0 <= r1["score"] <= 1.0
+    # epsilon=0 is the pure-minimax path (unchanged protocol)
+    r0 = _play(depth=0, epsilon=0.0)
+    assert r0["net_wins"] + r0["draws"] + r0["net_losses"] == 2
