@@ -67,13 +67,28 @@ def main() -> None:
             time.sleep(60)
     else:
         # Degrade to the last successful capture, clearly labeled stale,
-        # rather than recording nothing (ONE JSON line either way).
+        # rather than recording nothing (ONE JSON line either way). The
+        # top-level metric fields are NULLED so a key-based consumer can
+        # never mistake a months-old capture for a fresh one (advisor
+        # round-4 finding); the cached numbers move under "last_good".
         if os.path.exists(last_good):
             with open(last_good) as f:
                 cached = json.load(f)
-            cached["stale"] = True
-            cached["stale_reason"] = "TPU backend unreachable at capture"
-            print(json.dumps(cached))
+            stale = {
+                "metric": cached.get("metric", "mcts_sims_per_sec"),
+                "value": None,
+                "unit": cached.get("unit"),
+                "vs_baseline": None,
+                "mfu": None,
+                "env_steps_per_sec": None,
+                "standard_sims_per_sec": None,
+                "standard_mfu": None,
+                "guards_ok": None,
+                "stale": True,
+                "stale_reason": "TPU backend unreachable at capture",
+                "last_good": cached,
+            }
+            print(json.dumps(stale))
             return
         raise SystemExit(
             "bench: TPU backend unreachable (device init exceeded 180 s "
