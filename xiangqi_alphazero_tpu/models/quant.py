@@ -42,7 +42,6 @@ class QConv(NamedTuple):
     w_q: jax.Array      # int8 [K*K*Cin, Cout] (im2col layout)
     w_scale: jax.Array  # f32 [Cout]
     bias: jax.Array     # f32 [Cout] (folded BN shift)
-    ksize: int          # 1 or 3
 
 
 class QDense(NamedTuple):
@@ -84,7 +83,7 @@ def _qconv(kernel, bn_p, bn_s) -> QConv:
     k, b = _fold_bn(np.asarray(kernel), bn_p, bn_s)
     kh, kw, cin, cout = k.shape
     q, s = _quant_w(k.reshape(kh * kw * cin, cout))
-    return QConv(jnp.asarray(q), jnp.asarray(s), jnp.asarray(b), kh)
+    return QConv(jnp.asarray(q), jnp.asarray(s), jnp.asarray(b))
 
 
 def quantize_net(variables) -> QuantNet:
@@ -152,10 +151,14 @@ def _int8_matmul(q_x: jax.Array, qc_w: jax.Array) -> jax.Array:
     )
 
 
-def _conv(x: jax.Array, qc: QConv, relu: bool = True) -> jax.Array:
-    """Quantized conv (+folded BN) on NHWC f32 input; f32 out."""
+def _conv(x: jax.Array, qc: QConv, relu: bool = True,
+          ksize: int = 3) -> jax.Array:
+    """Quantized conv (+folded BN) on NHWC f32 input; f32 out. ``ksize``
+    is STATIC (python int) — the caller knows which convs are 3x3
+    (stem/tower) vs 1x1 (heads); a pytree field would become a tracer
+    inside scan/while bodies."""
     b = x.shape[0]
-    patches = _im2col(x) if qc.ksize == 3 else x
+    patches = _im2col(x) if ksize == 3 else x
     q_x, a_scale = _quant_act(patches.reshape(b * ROWS * COLS, -1))
     acc = _int8_matmul(q_x, qc.w_q)
     y = (
@@ -176,7 +179,7 @@ def int8_forward(qn: QuantNet, feats: jax.Array) -> Tuple[jax.Array, jax.Array]:
         y = _conv(y, c2, relu=False)
         x = jax.nn.relu(y + x)
 
-    p = _conv(x, qn.policy_conv)
+    p = _conv(x, qn.policy_conv, ksize=1)
     p = p.reshape(p.shape[0], -1)
     q_p, p_scale = _quant_act(p)
     logits = (
@@ -185,7 +188,7 @@ def int8_forward(qn: QuantNet, feats: jax.Array) -> Tuple[jax.Array, jax.Array]:
         + qn.policy_dense.bias
     )
 
-    v = _conv(x, qn.value_conv)
+    v = _conv(x, qn.value_conv, ksize=1)
     v = v.reshape(v.shape[0], -1)
     v = jax.nn.relu(v @ qn.value_d1[0] + qn.value_d1[1])
     value = jnp.tanh(v @ qn.value_d2[0] + qn.value_d2[1])
