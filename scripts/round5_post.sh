@@ -42,7 +42,7 @@ anchor)
     --depth 3 --games 64 --out models/anchor_r05_d3.json 2>/dev/null
   # epsilon ladder at depth 2: graded opponents between the d1/d2 cells,
   # old + new bundles on the SAME table
-  for eps in 0.5 0.25 0.1; do
+  for eps in 0.5 0.25; do
     python scripts/minimax_anchor.py \
       --models "$FLAG" models/pretrained/best_model \
       --depth 2 --epsilon "$eps" --games 64 \
@@ -50,12 +50,14 @@ anchor)
   done
   ;;
 ladder)
+  # 5 rungs x 10 pairs: two tracked cross-round rungs (the round-4
+  # ladder's Elo-362 and Elo-568 nets) + three flagship snapshots —
+  # splices the round-5 curve onto the round-4 scale
   python -m xiangqi_alphazero_tpu.train.elo \
     --models models/continuity/iter80/best_model \
              models/pretrained/best_model \
-             models/flagship/checkpoint_iter50 \
-             models/flagship/checkpoint_iter100 \
-             models/flagship/checkpoint_iter150 \
+             models/flagship/checkpoint_iter120 \
+             models/flagship/checkpoint_iter200 \
              "$FLAG" \
     --games 64 --sims 40 --temperature 0.2 \
     2>/dev/null | tail -1 | tee models/elo_ladder_r05.json
